@@ -1,0 +1,85 @@
+"""Config system tests: defaults, strict merge, YAML compatibility with the
+reference's shipped recipe files."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from unseenobjectclustering_tpu.config import Config, default_dict
+
+REF_CFG_DIR = "/root/reference/experiments/cfgs"
+
+
+def test_defaults():
+    cfg = Config.default()
+    assert cfg.INPUT == "RGBD"
+    assert cfg.TRAIN.EMBEDDING_ALPHA == 0.02
+    assert cfg.TRAIN.EMBEDDING_DELTA == 0.5
+    assert cfg.TRAIN.EMBEDDING_METRIC == "euclidean"
+    assert cfg.TRAIN.FUSION_TYPE == "add"
+    assert cfg.TEST.IMS_PER_BATCH == 1
+    np.testing.assert_allclose(cfg.pixel_means,
+                               [102.9801, 115.9465, 122.7717])
+
+
+def test_unknown_key_raises():
+    with pytest.raises(KeyError):
+        Config.from_dict({"NOT_A_KEY": 1})
+    with pytest.raises(KeyError):
+        Config.from_dict({"TRAIN": {"NOT_A_KEY": 1}})
+
+
+def test_type_mismatch_raises():
+    with pytest.raises(ValueError):
+        Config.from_dict({"INPUT": 3})
+
+
+def test_replace_immutable():
+    cfg = Config.default()
+    cfg2 = cfg.replace(INPUT="COLOR")
+    assert cfg.INPUT == "RGBD"
+    assert cfg2.INPUT == "COLOR"
+    with pytest.raises(AttributeError):
+        cfg.TRAIN.SYN_CROP = True
+
+
+def test_cluster_epsilon_derived():
+    cfg = Config.default()
+    assert cfg.cluster_epsilon == pytest.approx(0.04)  # 2 * alpha
+    cfg2 = cfg.replace(CLUSTER={"EPSILON": 0.1})
+    assert cfg2.cluster_epsilon == pytest.approx(0.1)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CFG_DIR),
+                    reason="reference configs not mounted")
+@pytest.mark.parametrize("path", sorted(glob.glob(f"{REF_CFG_DIR}/*.yml")))
+def test_loads_every_reference_recipe(path):
+    cfg = Config.from_yaml(path)
+    # the flagship recipe settings must round-trip
+    assert cfg.TRAIN.EMBEDDING_METRIC == "cosine"
+    assert cfg.TRAIN.NUM_UNITS == 64
+    assert cfg.TRAIN.IMS_PER_BATCH > 0
+    assert isinstance(cfg.TRAIN.MILESTONES, tuple)
+
+
+def test_flagship_recipe_values():
+    path = f"{REF_CFG_DIR}/seg_resnet34_8s_embedding_cosine_rgbd_add_tabletop.yml"
+    if not os.path.exists(path):
+        pytest.skip("reference configs not mounted")
+    cfg = Config.from_yaml(path)
+    assert cfg.INPUT == "RGBD"
+    assert cfg.TRAIN.FUSION_TYPE == "add"
+    assert cfg.TRAIN.EMBEDDING_SAMPLING is True
+    assert cfg.TRAIN.EMBEDDING_SAMPLING_NUM == 1000
+    assert cfg.TRAIN.LEARNING_RATE == pytest.approx(1e-5)
+    assert cfg.TRAIN.WEIGHT_DECAY == pytest.approx(5e-4)
+    assert cfg.TRAIN.MILESTONES == (3,)
+    assert cfg.EXP_DIR == "tabletop_object"
+
+
+def test_default_dict_sections():
+    d = default_dict()
+    assert set(d["CLUSTER"]) >= {"KAPPA", "NUM_SEEDS", "MAX_ITERS",
+                                 "MAX_INSTANCES"}

@@ -1,0 +1,159 @@
+"""Mean-shift clustering tests: numpy oracles re-deriving the reference
+semantics (lib/utils/mean_shift.py) plus Pallas/XLA cross-checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unseenobjectclustering_tpu.ops.mean_shift import (
+    assign_and_swap_background, connected_components, hill_climb_xla,
+    mean_shift_smart_init, select_smart_seeds)
+from unseenobjectclustering_tpu.ops.pallas_mean_shift import hill_climb_pallas
+
+
+def _unit(v):
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def make_clustered_data(rng, n_per=200, d=16, k=3, spread=0.05):
+    """k tight vMF-ish clusters on the unit sphere; cluster 0 is largest."""
+    centers = _unit(rng.randn(k, d))
+    xs, labels = [], []
+    for i in range(k):
+        cnt = n_per * (3 if i == 0 else 1)  # make cluster 0 the biggest
+        pts = _unit(centers[i][None] + spread * rng.randn(cnt, d))
+        xs.append(pts)
+        labels.append(np.full(cnt, i))
+    return (np.concatenate(xs).astype(np.float32), np.concatenate(labels),
+            centers)
+
+
+# ---------------------------------------------------------------------------
+# numpy oracles (independent implementations of the reference algorithms)
+# ---------------------------------------------------------------------------
+
+def oracle_select_seeds(x, m, first):
+    n, d = x.shape
+    seeds = np.zeros((m, d), np.float32)
+    idxs = np.zeros(m, np.int64)
+    seeds[0] = x[first]
+    idxs[0] = first
+    dmin = 0.5 * (1 - x @ x[first])
+    for i in range(1, m):
+        sel = int(np.argmax(dmin))
+        seeds[i] = x[sel]
+        idxs[i] = sel
+        dmin = np.minimum(dmin, 0.5 * (1 - x @ x[sel]))
+    return seeds, idxs
+
+
+def oracle_hill_climb(x, z, kappa, iters):
+    z = z.copy()
+    for _ in range(iters):
+        w = np.exp(kappa * (z @ x.T))
+        z = w @ x
+        z = z / np.maximum(np.linalg.norm(z, axis=1, keepdims=True), 1e-12)
+    return z
+
+
+def oracle_connected_components(z, eps):
+    """Sequential label propagation with mode tie-break
+    (mean_shift.py:41-76)."""
+    m = z.shape[0]
+    labels = -np.ones(m, np.int64)
+    k = 0
+    for i in range(m):
+        if labels[i] != -1:
+            continue
+        dist = 0.5 * (1 - z @ z[i])
+        comp = dist <= eps
+        neigh_labels = labels[comp]
+        neigh_labels = neigh_labels[neigh_labels != -1]
+        if neigh_labels.size > 0:
+            uniq, cnt = np.unique(neigh_labels, return_counts=True)
+            label = uniq[np.argmax(cnt)]
+        else:
+            label = k
+            k += 1
+        labels[comp] = label
+    return labels
+
+
+# ---------------------------------------------------------------------------
+
+def test_select_seeds_matches_oracle(rng):
+    x, _, _ = make_clustered_data(rng, n_per=50, d=8)
+    m = 10
+    seeds, idxs = select_smart_seeds(
+        jnp.asarray(x), m, jax.random.key(0),
+        first_index=jnp.int32(7))
+    oseeds, oidxs = oracle_select_seeds(x, m, 7)
+    np.testing.assert_array_equal(np.asarray(idxs), oidxs)
+    np.testing.assert_allclose(np.asarray(seeds), oseeds, atol=1e-6)
+
+
+def test_hill_climb_xla_matches_oracle(rng):
+    x, _, _ = make_clustered_data(rng, n_per=40, d=8)
+    z0 = x[:5].copy()
+    got = np.asarray(hill_climb_xla(jnp.asarray(x), jnp.asarray(z0), 20.0, 10))
+    want = oracle_hill_climb(x, z0, 20.0, 10)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_hill_climb_pallas_matches_xla(rng):
+    x, _, _ = make_clustered_data(rng, n_per=100, d=16)
+    z0 = x[:7].copy()
+    want = np.asarray(hill_climb_xla(jnp.asarray(x), jnp.asarray(z0), 20.0, 10))
+    got = np.asarray(hill_climb_pallas(jnp.asarray(x), jnp.asarray(z0),
+                                       kappa=20.0, max_iters=10, tile_n=128))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_connected_components_matches_oracle(rng):
+    # seeds drawn near 3 centers -> some merge, order-dependent
+    x, _, centers = make_clustered_data(rng, n_per=30, d=8, spread=0.02)
+    z = _unit(np.repeat(centers, 4, axis=0) +
+              0.01 * rng.randn(12, 8)).astype(np.float32)
+    got = np.asarray(connected_components(jnp.asarray(z), 0.04))
+    want = oracle_connected_components(z, 0.04)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_assignment_and_background_swap(rng):
+    x, gt, centers = make_clustered_data(rng, n_per=100, d=8, spread=0.02)
+    seeds = jnp.asarray(_unit(centers).astype(np.float32))
+    seed_labels = jnp.arange(3, dtype=jnp.int32)
+    labels = np.asarray(assign_and_swap_background(jnp.asarray(x), seeds,
+                                                   seed_labels))
+    # cluster 0 (gt) is the largest -> must still be label 0
+    assert np.all(labels[gt == 0] == 0)
+    # all clusters recovered exactly (well separated)
+    for g in range(3):
+        vals = np.unique(labels[gt == g])
+        assert vals.size == 1
+
+
+def test_full_pipeline_recovers_clusters(rng):
+    x, gt, _ = make_clustered_data(rng, n_per=150, d=16, spread=0.03)
+    res = mean_shift_smart_init(
+        jnp.asarray(x), jax.random.key(1), kappa=20.0, num_seeds=20,
+        max_iters=10, epsilon=0.04, use_pallas=False)
+    labels = np.asarray(res.labels)
+    # 3 clusters discovered, each gt cluster maps to exactly one label
+    assert np.unique(labels).size == 3
+    for g in range(3):
+        assert np.unique(labels[gt == g]).size == 1
+    # biggest cluster is background 0
+    assert np.all(labels[gt == 0] == 0)
+
+
+def test_full_pipeline_pallas_agrees(rng):
+    x, gt, _ = make_clustered_data(rng, n_per=150, d=16, spread=0.03)
+    r1 = mean_shift_smart_init(jnp.asarray(x), jax.random.key(1), kappa=20.0,
+                               num_seeds=20, max_iters=10, epsilon=0.04,
+                               use_pallas=False)
+    r2 = mean_shift_smart_init(jnp.asarray(x), jax.random.key(1), kappa=20.0,
+                               num_seeds=20, max_iters=10, epsilon=0.04,
+                               use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(r1.labels), np.asarray(r2.labels))

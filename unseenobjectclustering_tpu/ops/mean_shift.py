@@ -1,0 +1,208 @@
+"""von Mises-Fisher mean-shift clustering over unit-norm pixel embeddings.
+
+TPU-native re-design of the reference's clustering stack
+(lib/utils/mean_shift.py):
+
+  phase 1 — farthest-point seeding (select_smart_seeds :128-189): inherently
+            sequential; implemented as a lax.fori_loop carrying a running
+            min-distance vector instead of the reference's [n x m] distance
+            matrix (same argmax semantics, O(n) state instead of O(nm)).
+  phase 2 — vMF hill climbing (seed_hill_climbing_ball :79-109): 10 fixed
+            iterations of Z <- normalize(exp(kappa Z X^T) X).  The hot path is
+            a fused Pallas kernel (ops/pallas_mean_shift.py) that streams X
+            tiles through VMEM and never materializes the [m x n] kernel
+            matrix in HBM; a pure-XLA fallback covers CPU tests and the
+            euclidean metric.
+  phase 3 — connected components over converged seeds (:41-76): the
+            sequential label-propagation with mode tie-breaking is replicated
+            exactly as a fori_loop over the (tiny) m seeds, on device.
+  phase 4 — pixel-to-seed assignment + largest-cluster-to-background swap
+            (:206-227).
+
+Everything is jittable with static (num_seeds, max_iters) — matching the
+reference's own fixed iteration counts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class MeanShiftResult(NamedTuple):
+    labels: jax.Array            # [n] int32 cluster ids (0 = background)
+    seed_indices: jax.Array      # [m] int32 pixel indices chosen as seeds
+    seeds: jax.Array             # [m, d] converged seeds
+    seed_labels: jax.Array       # [m] int32 per-seed cluster ids
+
+
+def _cosine_dist_to_point(x: jax.Array, v: jax.Array) -> jax.Array:
+    """0.5 * (1 - X . v) for unit vectors; [n]."""
+    return 0.5 * (1.0 - x @ v)
+
+
+def _euclidean_dist_to_point(x: jax.Array, v: jax.Array) -> jax.Array:
+    return jnp.linalg.norm(x - v[None, :], axis=1)
+
+
+def select_smart_seeds(x: jax.Array, num_seeds: int, key: jax.Array,
+                       metric: str = "cosine",
+                       first_index: Optional[jax.Array] = None
+                       ) -> tuple[jax.Array, jax.Array]:
+    """Farthest-point seed selection (mean_shift.py:128-189).
+
+    Args:
+      x: [n, d] unit vectors.
+      num_seeds: static seed count m.
+      key: PRNG key for the random first seed (reference: np.random.randint,
+        mean_shift.py:155).
+      first_index: optional override of the first seed index (for oracle
+        tests / deterministic replay).
+    Returns:
+      (seeds [m, d], seed_indices [m]).
+    """
+    n, d = x.shape
+    dist_fn = (_cosine_dist_to_point if metric == "cosine"
+               else _euclidean_dist_to_point)
+
+    if first_index is None:
+        first_index = jax.random.randint(key, (), 0, n)
+    first_index = first_index.astype(jnp.int32)
+
+    seeds0 = jnp.zeros((num_seeds, d), dtype=x.dtype)
+    idxs0 = jnp.full((num_seeds,), -1, dtype=jnp.int32)
+    first_seed = x[first_index]
+    seeds0 = seeds0.at[0].set(first_seed)
+    idxs0 = idxs0.at[0].set(first_index)
+    min_dist0 = dist_fn(x, first_seed)
+
+    def body(i, carry):
+        min_dist, seeds, idxs = carry
+        sel = jnp.argmax(min_dist).astype(jnp.int32)
+        seed = x[sel]
+        seeds = seeds.at[i].set(seed)
+        idxs = idxs.at[i].set(sel)
+        min_dist = jnp.minimum(min_dist, dist_fn(x, seed))
+        return min_dist, seeds, idxs
+
+    _, seeds, idxs = jax.lax.fori_loop(1, num_seeds, body,
+                                       (min_dist0, seeds0, idxs0))
+    return seeds, idxs
+
+
+def hill_climb_xla(x: jax.Array, z: jax.Array, kappa: float, max_iters: int,
+                   metric: str = "cosine") -> jax.Array:
+    """Pure-XLA mean-shift hill climbing (mean_shift.py:79-109)."""
+    xf = x.astype(jnp.float32)
+
+    def cosine_step(_, z):
+        w = jnp.exp(kappa * (z @ xf.T))          # [m, n]
+        z_new = w @ xf                           # [m, d]
+        norm = jnp.linalg.norm(z_new, axis=1, keepdims=True)
+        return z_new / jnp.maximum(norm, 1e-12)
+
+    def euclidean_step(_, z):
+        diff = z[:, None, :] - xf[None, :, :]
+        dist = jnp.linalg.norm(diff, axis=2)
+        w = jnp.exp(-kappa * dist ** 2)
+        z_new = w @ xf
+        denom = jnp.clip(jnp.sum(w, axis=1, keepdims=True), min=1.0)
+        return z_new / denom
+
+    step = cosine_step if metric == "cosine" else euclidean_step
+    return jax.lax.fori_loop(0, max_iters, step, z.astype(jnp.float32))
+
+
+def connected_components(z: jax.Array, epsilon: float,
+                         metric: str = "cosine") -> jax.Array:
+    """Order-dependent seed merging with mode tie-breaking
+    (mean_shift.py:41-76), replicated exactly as a fori_loop over seeds.
+
+    Args:
+      z: [m, d] converged seeds.
+    Returns:
+      [m] int32 cluster labels.
+    """
+    m = z.shape[0]
+    if metric == "cosine":
+        dist = 0.5 * (1.0 - z @ z.T)
+    else:
+        dist = jnp.linalg.norm(z[:, None, :] - z[None, :, :], axis=2)
+    adj = dist <= epsilon  # [m, m] bool; row i = i's epsilon-ball
+
+    labels0 = jnp.full((m,), -1, dtype=jnp.int32)
+
+    def body(i, carry):
+        labels, k = carry
+        do = labels[i] == -1
+        neigh = adj[i]
+        labeled_neigh = neigh & (labels >= 0)
+        has_labeled = jnp.any(labeled_neigh)
+        # mode of labels among labeled neighbors; ties -> smallest label
+        # (get_label_mode, mean_shift.py:30-38)
+        onehot = jax.nn.one_hot(labels, m, dtype=jnp.int32)  # [-1 -> zeros]
+        counts = jnp.sum(onehot * labeled_neigh[:, None].astype(jnp.int32),
+                         axis=0)
+        mode = jnp.argmax(counts).astype(jnp.int32)
+        new_label = jnp.where(has_labeled, mode, k)
+        labels = jnp.where(do & neigh, new_label, labels)
+        k = k + jnp.where(do & ~has_labeled, 1, 0)
+        return labels, k
+
+    labels, _ = jax.lax.fori_loop(0, m, body, (labels0, jnp.int32(0)))
+    return labels
+
+
+def assign_and_swap_background(x: jax.Array, seeds: jax.Array,
+                               seed_labels: jax.Array,
+                               metric: str = "cosine") -> jax.Array:
+    """Assign each pixel to its nearest converged seed, then relabel so the
+    largest cluster is background 0 (mean_shift.py:206-227)."""
+    m = seeds.shape[0]
+    if metric == "cosine":
+        dist = 0.5 * (1.0 - x.astype(jnp.float32) @ seeds.T)  # [n, m]
+    else:
+        dist = jnp.linalg.norm(
+            x[:, None, :].astype(jnp.float32) - seeds[None, :, :], axis=2)
+    closest = jnp.argmin(dist, axis=1)
+    labels = seed_labels[closest].astype(jnp.int32)
+
+    counts = jnp.sum(jax.nn.one_hot(labels, m, dtype=jnp.int32), axis=0)
+    label_max = jnp.argmax(counts).astype(jnp.int32)
+    swapped = jnp.where(labels == 0, label_max,
+                        jnp.where(labels == label_max, 0, labels))
+    return jnp.where(label_max != 0, swapped, labels)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "kappa", "num_seeds", "max_iters", "epsilon", "metric", "use_pallas"))
+def mean_shift_smart_init(x: jax.Array, key: jax.Array, *, kappa: float = 20.0,
+                          num_seeds: int = 100, max_iters: int = 10,
+                          epsilon: float = 0.04, metric: str = "cosine",
+                          use_pallas: bool = True,
+                          first_index: Optional[jax.Array] = None
+                          ) -> MeanShiftResult:
+    """Full mean-shift pipeline (mean_shift.py:192-229), jit-compiled.
+
+    Args:
+      x: [n, d] unit-norm pixel embeddings.
+      key: PRNG key (first-seed randomness).
+      epsilon: seed-merge radius (2 * EMBEDDING_ALPHA in the reference,
+        mean_shift.py:123).
+      use_pallas: route hill climbing through the fused TPU kernel.
+    """
+    seeds, seed_indices = select_smart_seeds(x, num_seeds, key, metric,
+                                             first_index)
+    if metric == "cosine" and use_pallas:
+        from unseenobjectclustering_tpu.ops.pallas_mean_shift import (
+            hill_climb_pallas)
+        z = hill_climb_pallas(x, seeds, kappa=kappa, max_iters=max_iters)
+    else:
+        z = hill_climb_xla(x, seeds, kappa, max_iters, metric)
+    seed_labels = connected_components(z, epsilon, metric)
+    labels = assign_and_swap_background(x, z, seed_labels, metric)
+    return MeanShiftResult(labels=labels, seed_indices=seed_indices, seeds=z,
+                           seed_labels=seed_labels)

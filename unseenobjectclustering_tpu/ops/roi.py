@@ -1,0 +1,262 @@
+"""Zoom-in refinement ops: RoI cropping, depth filtering, paste-back.
+
+The reference's stage-2 pipeline (lib/fcn/test_dataset.py:62-228) loops in
+Python over a *dynamic* number of detected instances.  XLA needs static
+shapes, so the TPU-native design pads everything to a static MAX_INSTANCES:
+
+  * per-instance tight boxes come from masked segment min/max reductions
+    (vs. the reference's per-mask torch.nonzero, mask.py:171-195),
+  * the variable-size RoI -> 224x224 resize is a batched coordinate-mapped
+    bilinear gather (align_corners=True, replicating F.upsample_bilinear in
+    test_dataset.py:104) vmapped over the instance axis,
+  * invalid (padded) instances carry a validity mask through the whole stage.
+
+Depth filtering (filter_labels_depth, test_dataset.py:183-198) becomes a
+vectorized per-label reduction.  The order-dependent paste-back
+(match_label_crop, test_dataset.py:116-179) stays host-side numpy: it is
+per-image, tiny, and inherently sequential-overwrite.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unseenobjectclustering_tpu.ops.resize import (
+    _bilinear_matrix_align_corners, _nearest_index_legacy)
+
+
+# ---------------------------------------------------------------------------
+# depth filter
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_labels",))
+def filter_labels_depth(labels: jax.Array, xyz: jax.Array, threshold: float,
+                        max_labels: int = 128) -> jax.Array:
+    """Zero out instances whose mask has < threshold fraction of valid
+    (z > 0) depth (test_dataset.py:183-198).
+
+    Args:
+      labels: [H, W] int32 instance labels (0 = background).
+      xyz: [H, W, 3] XYZ image; channel 2 is z.
+      threshold: keep fraction (0.5 OCID / 0.8 OSD & demo).
+    """
+    lab = labels.astype(jnp.int32)
+    z_valid = (xyz[..., 2] > 0).astype(jnp.float32)
+    onehot = jax.nn.one_hot(lab.reshape(-1), max_labels, dtype=jnp.float32)
+    counts = jnp.sum(onehot, axis=0)                      # pixels per label
+    valid = onehot.T @ z_valid.reshape(-1)                # valid-z per label
+    frac = valid / jnp.maximum(counts, 1.0)
+    keep = (frac >= threshold) | (jnp.arange(max_labels) == 0)
+    return jnp.where(keep[lab], lab, 0)
+
+
+# ---------------------------------------------------------------------------
+# RoI extraction
+# ---------------------------------------------------------------------------
+
+class CropBatch(NamedTuple):
+    rgb_crops: jax.Array    # [M, S, S, 3]
+    mask_crops: jax.Array   # [M, S, S] float (nearest-resized instance mask)
+    depth_crops: jax.Array  # [M, S, S, 3] (zeros when no depth)
+    rois: jax.Array         # [M, 4] (x_min, y_min, x_max, y_max) int32
+    valid: jax.Array        # [M] bool — which instances are real
+
+
+def _instance_boxes(labels: jax.Array, max_instances: int
+                    ) -> tuple[jax.Array, jax.Array]:
+    """Tight boxes for instance ids 1..max_instances via masked min/max.
+
+    Returns (boxes [M,4] int32 (x0,y0,x1,y1), present [M] bool) where row i
+    corresponds to label id i+1 (label 0 = background is skipped, matching
+    test_dataset.py:68-70).
+    """
+    h, w = labels.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    ids = jnp.arange(1, max_instances + 1, dtype=jnp.int32)
+    masks = labels[None] == ids[:, None, None]  # [M, H, W]
+    big = jnp.int32(1 << 30)
+    x0 = jnp.min(jnp.where(masks, xs[None], big), axis=(1, 2))
+    y0 = jnp.min(jnp.where(masks, ys[None], big), axis=(1, 2))
+    x1 = jnp.max(jnp.where(masks, xs[None], -big), axis=(1, 2))
+    y1 = jnp.max(jnp.where(masks, ys[None], -big), axis=(1, 2))
+    present = jnp.any(masks, axis=(1, 2))
+    boxes = jnp.stack([x0, y0, x1, y1], axis=1)
+    boxes = jnp.where(present[:, None], boxes, 0)
+    return boxes, present
+
+
+def _pad_boxes(boxes: jax.Array, h: int, w: int,
+               padding_percentage: float = 0.25) -> jax.Array:
+    """25%-padded, boundary-clamped boxes (test_dataset.py:83-90).
+
+    The reference's int(round(0.25*extent)) uses banker-free round-half-away;
+    torch.round rounds half-to-even, but extents are ints so 0.25*extent hits
+    .5 only for extent % 4 == 2; we replicate torch.round (round-half-even).
+    """
+    x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    xpad = jnp.round((x1 - x0).astype(jnp.float32) * padding_percentage
+                     ).astype(jnp.int32)
+    ypad = jnp.round((y1 - y0).astype(jnp.float32) * padding_percentage
+                     ).astype(jnp.int32)
+    x0 = jnp.maximum(x0 - xpad, 0)
+    x1 = jnp.minimum(x1 + xpad, w - 1)
+    y0 = jnp.maximum(y0 - ypad, 0)
+    y1 = jnp.minimum(y1 + ypad, h - 1)
+    return jnp.stack([x0, y0, x1, y1], axis=1)
+
+
+def _roi_bilinear_crop(img: jax.Array, box: jax.Array, size: int) -> jax.Array:
+    """Crop img[y0:y1+1, x0:x1+1] and bilinear-resize (align_corners=True) to
+    [size, size, C] with a coordinate-mapped gather (dynamic source extent
+    under a static shape)."""
+    h, w = img.shape[:2]
+    x0, y0, x1, y1 = box[0], box[1], box[2], box[3]
+    src_h = (y1 - y0).astype(jnp.float32)  # extent-1 of the crop
+    src_w = (x1 - x0).astype(jnp.float32)
+    t = jnp.arange(size, dtype=jnp.float32) / (size - 1)
+    ys = y0.astype(jnp.float32) + t * src_h   # [S] absolute source rows
+    xs = x0.astype(jnp.float32) + t * src_w
+    y_lo = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    y_hi = jnp.clip(y_lo + 1, 0, h - 1)
+    x_lo = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    x_hi = jnp.clip(x_lo + 1, 0, w - 1)
+    wy = (ys - y_lo.astype(jnp.float32))[:, None, None]
+    wx = (xs - x_lo.astype(jnp.float32))[None, :, None]
+    g = lambda yy, xx: img[yy][:, xx]  # [S, S, C]
+    out = ((1 - wy) * (1 - wx) * g(y_lo, x_lo)
+           + (1 - wy) * wx * g(y_lo, x_hi)
+           + wy * (1 - wx) * g(y_hi, x_lo)
+           + wy * wx * g(y_hi, x_hi))
+    return out
+
+
+def _roi_nearest_crop(img: jax.Array, box: jax.Array, size: int) -> jax.Array:
+    """Crop + nearest resize with legacy torch indexing
+    (src = floor(dst * in/out)); for masks."""
+    h, w = img.shape[:2]
+    x0, y0, x1, y1 = box[0], box[1], box[2], box[3]
+    crop_h = (y1 - y0 + 1).astype(jnp.float32)
+    crop_w = (x1 - x0 + 1).astype(jnp.float32)
+    d = jnp.arange(size, dtype=jnp.float32)
+    ys = y0 + jnp.floor(d * crop_h / size).astype(jnp.int32)
+    xs = x0 + jnp.floor(d * crop_w / size).astype(jnp.int32)
+    ys = jnp.clip(ys, 0, h - 1)
+    xs = jnp.clip(xs, 0, w - 1)
+    return img[ys][:, xs]
+
+
+@functools.partial(jax.jit, static_argnames=("max_instances", "crop_size"))
+def crop_rois(rgb: jax.Array, labels: jax.Array,
+              xyz: Optional[jax.Array], *, max_instances: int = 32,
+              crop_size: int = 224) -> CropBatch:
+    """Batched RoI extraction for the zoom-in network
+    (test_dataset.py:62-112), padded to a static instance count.
+
+    Args:
+      rgb: [H, W, 3] normalized image (NHWC).
+      labels: [H, W] int32 stage-1 instance labels (0 = background).
+      xyz: [H, W, 3] XYZ image or None.
+    """
+    h, w = labels.shape
+    boxes, present = _instance_boxes(labels, max_instances)
+    boxes = _pad_boxes(boxes, h, w)
+
+    crop_rgb = jax.vmap(lambda b: _roi_bilinear_crop(rgb, b, crop_size))(boxes)
+    ids = jnp.arange(1, max_instances + 1, dtype=jnp.int32)
+    inst_masks = (labels[None] == ids[:, None, None]).astype(jnp.float32)
+    crop_mask = jax.vmap(
+        lambda m, b: _roi_nearest_crop(m, b, crop_size))(inst_masks, boxes)
+    if xyz is not None:
+        crop_xyz = jax.vmap(
+            lambda b: _roi_bilinear_crop(xyz, b, crop_size))(boxes)
+    else:
+        crop_xyz = jnp.zeros((max_instances, crop_size, crop_size, 3),
+                             jnp.float32)
+
+    zero = lambda a: jnp.where(
+        present.reshape((-1,) + (1,) * (a.ndim - 1)), a, 0)
+    return CropBatch(rgb_crops=zero(crop_rgb), mask_crops=zero(crop_mask),
+                     depth_crops=zero(crop_xyz), rois=boxes, valid=present)
+
+
+# ---------------------------------------------------------------------------
+# paste-back (host-side numpy: per-image, dynamic, order-dependent)
+# ---------------------------------------------------------------------------
+
+def _nearest_resize_np(mask: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    iy = _nearest_index_legacy(mask.shape[0], out_hw[0])
+    ix = _nearest_index_legacy(mask.shape[1], out_hw[1])
+    return mask[iy][:, ix]
+
+
+def match_label_crop(initial_labels: np.ndarray, labels_crop: np.ndarray,
+                     mask_crops: np.ndarray, rois: np.ndarray,
+                     depth_crops: Optional[np.ndarray],
+                     valid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Merge per-crop cluster labels back into a full-resolution refined mask
+    (test_dataset.py:116-179):
+
+      1. veto crop-clusters overlapping the original instance mask < 50%,
+      2. order instances back-to-front by mean z-depth (or RoI area),
+      3. paste nearest-resized crops; later (closer) instances overwrite.
+
+    Args:
+      initial_labels: [H, W] stage-1 labels.
+      labels_crop: [M, S, S] clustering labels of each crop.
+      mask_crops: [M, S, S] the stage-1 instance mask resized into the crop.
+      rois: [M, 4] (x0, y0, x1, y1).
+      depth_crops: [M, S, S, 3] or None.
+      valid: [M] bool.
+    Returns:
+      (refined [H, W] int labels, labels_crop after veto).
+    """
+    labels_crop = labels_crop.copy()
+    num = labels_crop.shape[0]
+    order_key = []
+    for i in range(num):
+        if not valid[i]:
+            order_key.append((i, -np.inf))
+            continue
+        # veto under-overlapping clusters
+        for mask_id in np.unique(labels_crop[i]):
+            m = labels_crop[i] == mask_id
+            pct = (mask_crops[i][m] > 0).sum() / max(m.sum(), 1)
+            if pct < 0.5:
+                labels_crop[i][m] = -1
+        if depth_crops is not None:
+            sel = labels_crop[i] > -1
+            z = depth_crops[i, :, :, 2][sel] if sel.any() \
+                else depth_crops[i, :, :, 2]
+            z = z[z > 0]
+            avg = z.mean() if z.size else np.nan
+            order_key.append((i, avg))
+        else:
+            x0, y0, x1, y1 = rois[i]
+            order_key.append((i, (y1 - y0 + 1) * (x1 - x0 + 1)))
+
+    order = [i for i, _ in sorted(order_key, key=lambda t: t[1],
+                                  reverse=True)]
+
+    refined = np.zeros_like(initial_labels)
+    count = 0
+    for i in order:
+        if not valid[i]:
+            continue
+        ids = [m for m in np.unique(labels_crop[i]) if m != -1]
+        relabeled = np.zeros_like(labels_crop[i])
+        for mask_id in ids:
+            count += 1
+            relabeled[labels_crop[i] == mask_id] = count
+        x0, y0, x1, y1 = (int(v) for v in rois[i])
+        resized = _nearest_resize_np(relabeled, (y1 - y0 + 1, x1 - x0 + 1))
+        region = refined[y0:y1 + 1, x0:x1 + 1]
+        nz = resized > 0
+        region[nz] = resized[nz]
+    return refined, labels_crop
