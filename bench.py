@@ -1,0 +1,117 @@
+"""Benchmark: end-to-end RGB-D segmentation throughput at 640x480.
+
+Measures the flagship stage-1 pipeline (the reference demo path,
+lib/fcn/test_dataset.py:232-252): on-device preprocessing (normalize +
+depth->XYZ backprojection), ResNet34-8s RGBD-add forward, unit-norm
+embeddings, fused-Pallas vMF mean-shift clustering, depth validity filter.
+
+Timing methodology: ITERS frames are dependency-chained inside ONE compiled
+lax.scan (frame i+1's input depends on frame i's labels), so the device must
+execute them serially, result caching is impossible, and a single host fetch
+bounds total device time.  This measures pure per-chip throughput — robust
+to async-dispatch / RPC-tunnel artifacts that make per-call
+block_until_ready unreliable (measured: per-call dispatch through the axon
+tunnel costs ~85 ms/frame of pure RPC overhead).
+
+Default mode is the production-fast configuration (bfloat16 conv stack +
+bfloat16 similarity matmuls + stride-4 farthest-point seeding); pass
+--parity for the reference-exact float32 / full-seeding path.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured fps / 60 — the north-star target of
+>= 60 RGB-D frames/sec/chip on v5e (BASELINE.json; the reference publishes
+no throughput numbers, SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+H, W = 480, 640
+WARMUP = 3
+ITERS = 30
+TARGET_FPS = 60.0
+
+
+def build_pipeline(fast: bool):
+    from unseenobjectclustering_tpu.config import Config
+    from unseenobjectclustering_tpu.models import get_network
+    from unseenobjectclustering_tpu.ops.mean_shift import mean_shift_smart_init
+    from unseenobjectclustering_tpu.ops.preprocess import preprocess_rgbd
+    from unseenobjectclustering_tpu.ops.roi import filter_labels_depth
+
+    cfg = Config.default()
+    on_tpu = jax.default_backend() == "tpu"
+    model_dtype = jnp.bfloat16 if (fast and on_tpu) else jnp.float32
+    model = get_network("seg_resnet34_8s_embedding", cfg, dtype=model_dtype)
+    key = jax.random.PRNGKey(3)
+    zeros = jnp.zeros((1, H, W, 3), jnp.float32)
+    variables = model.init(key, zeros, zeros, train=False)
+
+    kappa = float(cfg.CLUSTER.KAPPA)
+    num_seeds = int(cfg.CLUSTER.NUM_SEEDS)
+    max_iters = int(cfg.CLUSTER.MAX_ITERS)
+    epsilon = float(cfg.cluster_epsilon)
+    pixel_means = jnp.asarray(cfg.pixel_means)
+    compute_dtype = "bfloat16" if (fast and on_tpu) else "float32"
+    seed_subsample = 4 if fast else 1
+
+    @jax.jit
+    def run_frames(variables, bgr_u8, depth_m, intrinsics, keys):
+        fx, fy, px, py = intrinsics
+
+        def body(carry, key):
+            # chain: this frame's input depends on the previous labels,
+            # forcing serial execution and defeating result caching
+            bgr_i = bgr_u8 + (carry[0, 0] % 2).astype(jnp.uint8)
+            img, xyz = preprocess_rgbd(bgr_i, depth_m, pixel_means, fx, fy,
+                                       px, py, height=H, width=W)
+            features = model.apply(variables, img[None], xyz[None],
+                                   train=False)
+            res = mean_shift_smart_init(
+                features.reshape(H * W, features.shape[-1]), key,
+                kappa=kappa, num_seeds=num_seeds, max_iters=max_iters,
+                epsilon=epsilon, metric="cosine", use_pallas=on_tpu,
+                seed_subsample=seed_subsample, compute_dtype=compute_dtype)
+            labels = filter_labels_depth(res.labels.reshape(H, W), xyz, 0.8,
+                                         max_labels=33)
+            return labels, ()
+
+        labels, _ = jax.lax.scan(body, jnp.zeros((H, W), jnp.int32), keys)
+        return labels
+
+    return run_frames, variables
+
+
+def main():
+    fast = "--parity" not in sys.argv
+    run_frames, variables = build_pipeline(fast)
+
+    rng = np.random.RandomState(3)
+    bgr = jnp.asarray(rng.randint(0, 255, size=(H, W, 3)), jnp.uint8)
+    depth = jnp.asarray(0.5 + rng.rand(H, W).astype(np.float32))
+    intr = tuple(jnp.float32(v) for v in (615.0, 615.0, W / 2.0, H / 2.0))
+    keys = jax.random.split(jax.random.PRNGKey(7), ITERS)
+
+    np.asarray(run_frames(variables, bgr, depth, intr, keys))  # warm + sync
+    t0 = time.perf_counter()
+    np.asarray(run_frames(variables, bgr, depth, intr, keys))
+    dt = time.perf_counter() - t0
+    fps = ITERS / dt
+
+    print(json.dumps({
+        "metric": "rgbd_segmentation_fps_640x480",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / TARGET_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

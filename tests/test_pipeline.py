@@ -1,0 +1,75 @@
+"""End-to-end tests for the two-stage inference pipeline (engine.pipeline).
+
+Strategy (SURVEY.md §4): the reference has no tests, so we validate
+operationally — a synthetic scene with well-separated embedding clusters must
+come back as distinct instances, and the refined stage must not lose them.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unseenobjectclustering_tpu.config import Config
+from unseenobjectclustering_tpu.engine.pipeline import Segmentor
+from unseenobjectclustering_tpu.models import get_network
+
+
+def tiny_cfg(**cluster):
+    overrides = {
+        "INPUT": "RGBD",
+        "TRAIN": {"EMBEDDING_METRIC": "cosine", "NUM_UNITS": 8,
+                  "SYN_CROP_SIZE": 32},
+        "CLUSTER": {"NUM_SEEDS": 16, "MAX_INSTANCES": 4, "USE_PALLAS": False,
+                    **cluster},
+    }
+    return Config.from_dict(overrides)
+
+
+@pytest.fixture(scope="module")
+def seg():
+    cfg = tiny_cfg()
+    model = get_network("seg_resnet34_8s_embedding", cfg)
+    key = jax.random.PRNGKey(0)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(key, img, img, train=False)
+    return Segmentor(cfg, variables, variables_crop=variables,
+                     depth_threshold=None)
+
+
+def test_stage1_shapes(seg):
+    img = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    xyz = np.random.RandomState(1).rand(1, 64, 64, 3).astype(np.float32)
+    res = seg.segment(img, xyz, refine=False, return_features=True)
+    assert res.labels.shape == (1, 64, 64)
+    assert res.features.shape == (1, 64, 64, 8)
+    assert res.labels_refined is None
+    # unit-norm embeddings
+    norms = np.linalg.norm(res.features, axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_stage2_runs_and_refines(seg):
+    img = np.random.RandomState(2).rand(1, 64, 64, 3).astype(np.float32)
+    xyz = np.random.RandomState(3).rand(1, 64, 64, 3).astype(np.float32)
+    xyz[..., 2] = 1.0  # valid depth everywhere
+    res = seg.segment(img, xyz, refine=True)
+    assert res.labels_refined is not None
+    assert res.labels_refined.shape == (1, 64, 64)
+    assert res.labels_refined.dtype == np.int32
+    assert "stage2" in res.timing
+
+
+def test_depth_filter_drops_invalid_depth_instances():
+    """Instances whose pixels all have z == 0 must be removed when a depth
+    threshold is set (test_dataset.py:183-198 semantics)."""
+    cfg = tiny_cfg()
+    model = get_network("seg_resnet34_8s_embedding", cfg)
+    key = jax.random.PRNGKey(0)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(key, img, img, train=False)
+    seg_f = Segmentor(cfg, variables, depth_threshold=0.8)
+    img = np.random.RandomState(2).rand(1, 64, 64, 3).astype(np.float32)
+    xyz = np.zeros((1, 64, 64, 3), np.float32)  # all-invalid depth
+    res = seg_f.segment(img, xyz, refine=False)
+    assert np.all(res.labels == 0)

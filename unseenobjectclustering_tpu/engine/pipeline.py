@@ -1,0 +1,228 @@
+"""Two-stage unseen-object instance segmentation pipeline (inference).
+
+The de-facto public API of the reference is ``test_sample``
+(lib/fcn/test_dataset.py:232-267): RGB-D sample in, stage-1 labels +
+zoom-in-refined labels out.  This module is its TPU-native counterpart:
+
+  stage 1 (one jit-compiled XLA program, static 480x640 shapes):
+    backbone forward -> unit-norm pixel embeddings -> vMF mean-shift
+    clustering (fused Pallas hill climb) -> depth validity filter.
+
+  stage 2 (one jit-compiled program, padded to a static MAX_INSTANCES):
+    batched RoI tight-box extraction + 25%-padded crop-resize to 224^2
+    (ops/roi.py) -> zoom-in network forward on all crops at once ->
+    per-crop mean-shift re-clustering (sequential lax.map so invalid
+    padded crops can be skipped with lax.cond).
+
+  paste-back (host, numpy): order-dependent overwrite by depth
+  (ops/roi.match_label_crop; test_dataset.py:116-179) — inherently
+  sequential, tiny, and final-output-only, so it stays off-device.
+
+Design notes vs the reference:
+  * The reference loops clustering per image in Python
+    (test_dataset.py:44-59); here the batch axis is a lax.map inside the
+    compiled program — no host round-trips between phases.
+  * The full stage-1 program is compiled once per (H, W, B) and cached.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unseenobjectclustering_tpu.config import Config
+from unseenobjectclustering_tpu.models import get_network
+from unseenobjectclustering_tpu.ops.mean_shift import mean_shift_smart_init
+from unseenobjectclustering_tpu.ops.roi import (crop_rois, filter_labels_depth,
+                                                match_label_crop)
+
+
+class SegmentationResult(NamedTuple):
+    """Outputs of one segmentation call (numpy, host-side)."""
+    labels: np.ndarray                     # [B, H, W] int32 stage-1 labels
+    labels_refined: Optional[np.ndarray]   # [B, H, W] int32 or None
+    features: Optional[np.ndarray]         # [B, H, W, C] embeddings or None
+    timing: dict
+
+
+def _cluster_batch(features: jax.Array, keys: jax.Array, **ms_kw) -> jax.Array:
+    """Mean-shift cluster each image's pixel embeddings.
+
+    features: [B, H, W, C]; keys: [B] PRNG keys.  Returns [B, H, W] int32.
+    Sequential lax.map over the batch: each image's clustering already
+    saturates the chip (307k x 100 similarity), so batching them would only
+    multiply peak memory.
+    """
+    b, h, w, c = features.shape
+
+    def one(args):
+        feat, k = args
+        res = mean_shift_smart_init(feat.reshape(h * w, c), k, **ms_kw)
+        return res.labels.reshape(h, w)
+
+    return jax.lax.map(one, (features, keys))
+
+
+def _cluster_crops(features: jax.Array, valid: jax.Array, keys: jax.Array,
+                   **ms_kw) -> jax.Array:
+    """Cluster each RoI crop's embeddings, skipping invalid padded slots.
+
+    features: [M, S, S, C]; valid: [M] bool.  Returns [M, S, S] int32.
+    """
+    m, s, _, c = features.shape
+
+    def one(args):
+        feat, ok, k = args
+        def run(_):
+            res = mean_shift_smart_init(feat.reshape(s * s, c), k, **ms_kw)
+            return res.labels.reshape(s, s)
+        return jax.lax.cond(ok, run,
+                            lambda _: jnp.zeros((s, s), jnp.int32), None)
+
+    return jax.lax.map(one, (features, valid, keys))
+
+
+class Segmentor:
+    """Two-stage segmentation engine with compiled stage graphs.
+
+    Mirrors the call surface of the reference's ``test_sample``:
+
+        seg = Segmentor(cfg, variables, variables_crop)
+        result = seg.segment(image, xyz)   # normalized BGR + XYZ, NHWC
+
+    ``variables`` / ``variables_crop`` are flax variable dicts
+    ({'params': ..., 'batch_stats': ...}) for the main and zoom-in networks.
+    """
+
+    def __init__(self, cfg: Config, variables: Any,
+                 variables_crop: Optional[Any] = None,
+                 network_name: str = "seg_resnet34_8s_embedding",
+                 crop_network_name: Optional[str] = None,
+                 depth_threshold: Optional[float] = 0.8,
+                 seed: int = 3, model_dtype: Any = None):
+        self.cfg = cfg
+        # model_dtype=bfloat16 runs the conv stack on the MXU at 2x; params
+        # stay float32 and the embedding head/normalization are float32
+        self.model = get_network(network_name, cfg, dtype=model_dtype)
+        self.variables = variables
+        self.variables_crop = variables_crop
+        self.model_crop = (get_network(crop_network_name or network_name, cfg,
+                                       dtype=model_dtype)
+                           if variables_crop is not None else None)
+        # depth filter threshold: 0.5 OCID / 0.8 OSD & demo
+        # (test_dataset.py:299-305,250-252); None disables.
+        self.depth_threshold = depth_threshold
+        self._key = jax.random.PRNGKey(seed)
+
+        ms = dict(kappa=float(cfg.CLUSTER.KAPPA),
+                  num_seeds=int(cfg.CLUSTER.NUM_SEEDS),
+                  max_iters=int(cfg.CLUSTER.MAX_ITERS),
+                  epsilon=float(cfg.cluster_epsilon),
+                  metric=str(cfg.TRAIN.EMBEDDING_METRIC),
+                  use_pallas=bool(cfg.CLUSTER.USE_PALLAS),
+                  seed_subsample=int(cfg.CLUSTER.SEED_SUBSAMPLE),
+                  compute_dtype=str(cfg.CLUSTER.DTYPE))
+        self._ms_kw = ms
+        self.max_instances = int(cfg.CLUSTER.MAX_INSTANCES)
+        self.crop_size = int(cfg.TRAIN.SYN_CROP_SIZE)
+
+        self._stage1 = jax.jit(functools.partial(
+            self._stage1_impl,
+            threshold=(-1.0 if depth_threshold is None
+                       else float(depth_threshold))))
+        self._stage2 = jax.jit(self._stage2_impl)
+
+    # -- compiled graphs -----------------------------------------------------
+
+    def _stage1_impl(self, variables, img, xyz, key, *, threshold: float):
+        """img/xyz: [B, H, W, 3] -> (features [B,H,W,C], labels [B,H,W])."""
+        b = (img if img is not None else xyz).shape[0]
+        features = self.model.apply(variables, img, xyz, train=False)
+        keys = jax.random.split(key, b)
+        labels = _cluster_batch(features, keys, **self._ms_kw)
+        if xyz is not None and threshold > 0:
+            labels = jax.vmap(
+                lambda l, d: filter_labels_depth(
+                    l, d, threshold, max_labels=self.max_instances + 1)
+            )(labels, xyz)
+        return features, labels
+
+    def _stage2_impl(self, variables_crop, img, labels, xyz, key):
+        """Per image: RoI crops -> zoom-in forward -> per-crop clustering.
+
+        img/xyz: [H, W, 3]; labels: [H, W].
+        """
+        crops = crop_rois(img, labels, xyz,
+                          max_instances=self.max_instances,
+                          crop_size=self.crop_size)
+        input_type = self.cfg.INPUT
+        rgb_in = crops.rgb_crops if input_type != "DEPTH" else None
+        xyz_in = crops.depth_crops if input_type != "COLOR" else None
+        feats = self.model_crop.apply(variables_crop, rgb_in, xyz_in,
+                                      train=False)
+        keys = jax.random.split(key, self.max_instances)
+        labels_crop = _cluster_crops(feats, crops.valid, keys, **self._ms_kw)
+        return crops, labels_crop
+
+    # -- public API -----------------------------------------------------------
+
+    def next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def segment(self, image: Optional[np.ndarray],
+                xyz: Optional[np.ndarray] = None, *,
+                refine: bool = True,
+                return_features: bool = False) -> SegmentationResult:
+        """Segment a batch of preprocessed RGB-D frames.
+
+        Args:
+          image: [B, H, W, 3] normalized BGR (ops.preprocess.normalize_bgr)
+            or None when cfg.INPUT == 'DEPTH'.
+          xyz: [B, H, W, 3] XYZ point-cloud image (ops.preprocess.compute_xyz)
+            or None when cfg.INPUT == 'COLOR'.
+          refine: run the stage-2 zoom-in network (if one was given).
+        """
+        timing: dict[str, float] = {}
+        t0 = time.perf_counter()
+        img_d = jnp.asarray(image) if image is not None else None
+        xyz_d = jnp.asarray(xyz) if xyz is not None else None
+
+        features, labels = self._stage1(self.variables, img_d, xyz_d,
+                                        self.next_key())
+        labels.block_until_ready()
+        timing["stage1"] = time.perf_counter() - t0
+
+        labels_refined = None
+        if refine and self.model_crop is not None:
+            t1 = time.perf_counter()
+            b = labels.shape[0]
+            refined = []
+            for i in range(b):
+                img_i = img_d[i] if img_d is not None else jnp.zeros(
+                    xyz_d[i].shape, jnp.float32)
+                xyz_i = (xyz_d[i] if xyz_d is not None
+                         else jnp.zeros(img_d[i].shape, jnp.float32))
+                crops, labels_crop = self._stage2(
+                    self.variables_crop, img_i, labels[i], xyz_i,
+                    self.next_key())
+                ref, _ = match_label_crop(
+                    np.asarray(labels[i]), np.asarray(labels_crop),
+                    np.asarray(crops.mask_crops), np.asarray(crops.rois),
+                    np.asarray(crops.depth_crops) if xyz is not None else None,
+                    np.asarray(crops.valid))
+                refined.append(ref)
+            labels_refined = np.stack(refined).astype(np.int32)
+            timing["stage2"] = time.perf_counter() - t1
+
+        timing["total"] = time.perf_counter() - t0
+        return SegmentationResult(
+            labels=np.asarray(labels, dtype=np.int32),
+            labels_refined=labels_refined,
+            features=np.asarray(features) if return_features else None,
+            timing=timing)

@@ -1,0 +1,173 @@
+"""Training engine: optimizer construction, train state, DP train step.
+
+Capability parity with the reference recipe (tools/train_net.py:130-160,
+lib/fcn/train.py:37-76):
+
+  * Adam(lr, betas=(MOMENTUM, BETA)) or SGD(momentum) with L2 weight decay
+    added to the gradient (torch semantics — both reference param groups use
+    the same WEIGHT_DECAY, tools/train_net.py:133-134).
+  * MultiStepLR for the SGD path: lr * GAMMA^(#milestones passed), stepped per
+    epoch (tools/train_net.py:142).
+  * the loss is models.losses.embedding_loss on the embedding features
+    (the reference computes it inside the module only as a DataParallel
+    artifact, SEG.py:115-117).
+
+TPU-native departures (SURVEY.md §2.6):
+  * data parallelism is a 1-D jax Mesh with the batch axis sharded via
+    NamedSharding; jax.jit compiles the gradient all-reduce over ICI —
+    replacing torch.nn.DataParallel.
+  * BatchNorm statistics are updated per-step with a cross-replica
+    axis-mean compiled by XLA (flax mutable batch_stats).
+  * optimizer state is checkpointed (the reference drops it,
+    SURVEY.md §5) via utils.checkpoint / orbax.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from unseenobjectclustering_tpu.config import Config
+from unseenobjectclustering_tpu.models import get_network
+from unseenobjectclustering_tpu.models.losses import embedding_loss
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array                  # int32 global step
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    apply_fn: Callable = flax.struct.field(pytree_node=False)
+
+
+def multistep_schedule(base_lr: float, milestones: Sequence[int], gamma: float,
+                       steps_per_epoch: int, start_epoch: int = 0
+                       ) -> optax.Schedule:
+    """MultiStepLR: lr * gamma^(#epoch-milestones passed).
+
+    Milestones are epoch indices relative to start_epoch, matching the
+    reference's resume arithmetic (tools/train_net.py:142:
+    ``milestones=[m - startepoch for m in MILESTONES]``).
+    """
+    boundaries = {}
+    for m in milestones:
+        rel = (m - start_epoch) * steps_per_epoch
+        if rel > 0:
+            boundaries[rel] = gamma
+    return optax.piecewise_constant_schedule(base_lr, boundaries)
+
+
+def make_optimizer(cfg: Config, solver: str = "adam",
+                   steps_per_epoch: int = 1, start_epoch: int = 0
+                   ) -> tuple[optax.GradientTransformation, optax.Schedule]:
+    """Build the reference-equivalent optimizer (tools/train_net.py:135-142).
+
+    Returns (transformation, lr_schedule) — the schedule is also returned
+    standalone so the train loop can log the current lr like the reference
+    does (lib/fcn/train.py:74).
+    """
+    if solver not in ("adam", "sgd"):
+        raise ValueError(f"solver must be adam|sgd, got {solver!r}")
+    lr = float(cfg.TRAIN.LEARNING_RATE)
+    wd = float(cfg.TRAIN.WEIGHT_DECAY)
+    if solver == "adam":
+        schedule = optax.constant_schedule(lr)
+        tx = optax.chain(
+            optax.add_decayed_weights(wd),   # torch Adam: wd into the grad
+            optax.scale_by_adam(b1=float(cfg.TRAIN.MOMENTUM),
+                                b2=float(cfg.TRAIN.BETA)),
+            optax.scale_by_learning_rate(schedule),
+        )
+    else:
+        schedule = multistep_schedule(
+            lr, cfg.TRAIN.MILESTONES, float(cfg.TRAIN.GAMMA),
+            steps_per_epoch, start_epoch)
+        tx = optax.chain(
+            optax.add_decayed_weights(wd),
+            optax.trace(decay=float(cfg.TRAIN.MOMENTUM)),
+            optax.scale_by_learning_rate(schedule),
+        )
+    return tx, schedule
+
+
+def create_train_state(cfg: Config, *, network_name: str,
+                       solver: str = "adam", steps_per_epoch: int = 1,
+                       start_epoch: int = 0, height: int = 480,
+                       width: int = 640, seed: int = 3,
+                       variables: Optional[Any] = None) -> TrainState:
+    """Initialize (or adopt pretrained) variables and wrap them in a state."""
+    model = get_network(network_name, cfg)
+    if variables is None:
+        key = jax.random.PRNGKey(seed)
+        img = (jnp.zeros((1, height, width, 3), jnp.float32)
+               if cfg.INPUT != "DEPTH" else None)
+        xyz = (jnp.zeros((1, height, width, 3), jnp.float32)
+               if cfg.INPUT != "COLOR" else None)
+        variables = model.init(key, img, xyz, train=False)
+    tx, _ = make_optimizer(cfg, solver, steps_per_epoch, start_epoch)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=tx.init(params),
+                      tx=tx, apply_fn=model.apply)
+
+
+def loss_fn(params, batch_stats, apply_fn, img, xyz, label, *,
+            alpha: float, delta: float, lambda_intra: float,
+            lambda_inter: float, max_k: int, metric: str):
+    """Forward + embedding loss; returns (loss, (aux, new_batch_stats))."""
+    variables = {"params": params, "batch_stats": batch_stats}
+    features, mutated = apply_fn(variables, img, xyz, train=True,
+                                 mutable=["batch_stats"])
+    out = embedding_loss(features, label, alpha=alpha, delta=delta,
+                         lambda_intra=lambda_intra,
+                         lambda_inter=lambda_inter, max_k=max_k,
+                         metric=metric)
+    return out.loss, (out, mutated["batch_stats"])
+
+
+@functools.partial(jax.jit, static_argnames=("max_k", "metric"),
+                   donate_argnums=(0,))
+def train_step(state: TrainState, img, xyz, label, *, alpha: float,
+               delta: float, lambda_intra: float, lambda_inter: float,
+               max_k: int = 32, metric: str = "cosine"):
+    """One optimization step.
+
+    When the batch arrays carry a NamedSharding over a 'data' mesh axis and
+    the state is replicated, XLA turns the implicit gradient mean into an
+    ICI all-reduce — the TPU-native DataParallel (SURVEY.md §2.6).
+
+    Returns (new_state, metrics dict of scalars).
+    """
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    (loss, (out, new_bs)), grads = grad_fn(
+        state.params, state.batch_stats, state.apply_fn, img, xyz, label,
+        alpha=alpha, delta=delta, lambda_intra=lambda_intra,
+        lambda_inter=lambda_inter, max_k=max_k, metric=metric)
+    updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(step=state.step + 1, params=new_params,
+                              batch_stats=new_bs, opt_state=new_opt)
+    metrics = {"loss": loss, "intra": out.intra, "inter": out.inter}
+    return new_state, metrics
+
+
+def make_train_step(cfg: Config, max_k: int = 32):
+    """Bind the config's loss hyperparameters into a step function."""
+    kw = dict(alpha=float(cfg.TRAIN.EMBEDDING_ALPHA),
+              delta=float(cfg.TRAIN.EMBEDDING_DELTA),
+              lambda_intra=float(cfg.TRAIN.EMBEDDING_LAMBDA_INTRA),
+              lambda_inter=float(cfg.TRAIN.EMBEDDING_LAMBDA_INTER),
+              max_k=max_k, metric=str(cfg.TRAIN.EMBEDDING_METRIC))
+
+    def step(state, img, xyz, label):
+        return train_step(state, img, xyz, label, **kw)
+
+    return step

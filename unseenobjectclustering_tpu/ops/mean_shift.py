@@ -50,8 +50,8 @@ def _euclidean_dist_to_point(x: jax.Array, v: jax.Array) -> jax.Array:
 
 def select_smart_seeds(x: jax.Array, num_seeds: int, key: jax.Array,
                        metric: str = "cosine",
-                       first_index: Optional[jax.Array] = None
-                       ) -> tuple[jax.Array, jax.Array]:
+                       first_index: Optional[jax.Array] = None,
+                       subsample: int = 1) -> tuple[jax.Array, jax.Array]:
     """Farthest-point seed selection (mean_shift.py:128-189).
 
     Args:
@@ -61,9 +61,20 @@ def select_smart_seeds(x: jax.Array, num_seeds: int, key: jax.Array,
         mean_shift.py:155).
       first_index: optional override of the first seed index (for oracle
         tests / deterministic replay).
+      subsample: static pixel stride for the seeding phase only (1 = parity
+        with the reference, which scans all n pixels every step).  Farthest-
+        point seeding is the only O(num_seeds * n) sequential phase; seeding
+        from every `subsample`-th pixel keeps seed coverage (seeds are
+        starting points that hill-climb to the same modes) while cutting its
+        HBM traffic by the same factor.  Returned indices are in the original
+        pixel indexing.
     Returns:
       (seeds [m, d], seed_indices [m]).
     """
+    if subsample > 1:
+        seeds, idxs = select_smart_seeds(x[::subsample], num_seeds, key,
+                                         metric, first_index)
+        return seeds, idxs * subsample
     n, d = x.shape
     dist_fn = (_cosine_dist_to_point if metric == "cosine"
                else _euclidean_dist_to_point)
@@ -163,7 +174,13 @@ def assign_and_swap_background(x: jax.Array, seeds: jax.Array,
     largest cluster is background 0 (mean_shift.py:206-227)."""
     m = seeds.shape[0]
     if metric == "cosine":
-        dist = 0.5 * (1.0 - x.astype(jnp.float32) @ seeds.T)  # [n, m]
+        # keep the big [n, m] matmul in x's dtype (bf16-capable), accumulate
+        # fp32 on the MXU
+        sim = jax.lax.dot_general(
+            x, seeds.astype(x.dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dist = 0.5 * (1.0 - sim)  # [n, m]
     else:
         dist = jnp.linalg.norm(
             x[:, None, :].astype(jnp.float32) - seeds[None, :, :], axis=2)
@@ -178,12 +195,15 @@ def assign_and_swap_background(x: jax.Array, seeds: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "kappa", "num_seeds", "max_iters", "epsilon", "metric", "use_pallas"))
+    "kappa", "num_seeds", "max_iters", "epsilon", "metric", "use_pallas",
+    "seed_subsample", "compute_dtype"))
 def mean_shift_smart_init(x: jax.Array, key: jax.Array, *, kappa: float = 20.0,
                           num_seeds: int = 100, max_iters: int = 10,
                           epsilon: float = 0.04, metric: str = "cosine",
                           use_pallas: bool = True,
-                          first_index: Optional[jax.Array] = None
+                          first_index: Optional[jax.Array] = None,
+                          seed_subsample: int = 1,
+                          compute_dtype: str = "float32"
                           ) -> MeanShiftResult:
     """Full mean-shift pipeline (mean_shift.py:192-229), jit-compiled.
 
@@ -193,16 +213,21 @@ def mean_shift_smart_init(x: jax.Array, key: jax.Array, *, kappa: float = 20.0,
       epsilon: seed-merge radius (2 * EMBEDDING_ALPHA in the reference,
         mean_shift.py:123).
       use_pallas: route hill climbing through the fused TPU kernel.
+      seed_subsample: pixel stride for the farthest-point seeding phase
+        (cfg.CLUSTER.SEED_SUBSAMPLE; 1 = reference parity).
+      compute_dtype: dtype for the similarity matmuls ('float32' or
+        'bfloat16'); seed merging and normalization stay float32.
     """
-    seeds, seed_indices = select_smart_seeds(x, num_seeds, key, metric,
-                                             first_index)
+    xc = x.astype(jnp.bfloat16) if compute_dtype == "bfloat16" else x
+    seeds, seed_indices = select_smart_seeds(xc, num_seeds, key, metric,
+                                             first_index, seed_subsample)
     if metric == "cosine" and use_pallas:
         from unseenobjectclustering_tpu.ops.pallas_mean_shift import (
             hill_climb_pallas)
-        z = hill_climb_pallas(x, seeds, kappa=kappa, max_iters=max_iters)
+        z = hill_climb_pallas(xc, seeds, kappa=kappa, max_iters=max_iters)
     else:
-        z = hill_climb_xla(x, seeds, kappa, max_iters, metric)
+        z = hill_climb_xla(xc, seeds, kappa, max_iters, metric)
     seed_labels = connected_components(z, epsilon, metric)
-    labels = assign_and_swap_background(x, z, seed_labels, metric)
+    labels = assign_and_swap_background(xc, z, seed_labels, metric)
     return MeanShiftResult(labels=labels, seed_indices=seed_indices, seeds=z,
                            seed_labels=seed_labels)
