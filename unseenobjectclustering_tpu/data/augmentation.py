@@ -1,0 +1,330 @@
+"""Data augmentation: RGB chromatic/noise + DexNet-style depth corruption.
+
+Semantics parity with the reference's augmentation stack, rebuilt with an
+explicit RandomState threaded through (the reference mutates global
+numpy/random state from dataloader workers):
+
+  * chromatic_transform  — HLS jitter (lib/utils/blob.py:74-99)
+  * add_noise            — Gaussian or motion blur (lib/utils/blob.py:102-129)
+  * add_noise_to_depth   — multiplicative gamma (lib/utils/augmentation.py:58-71)
+  * add_noise_to_xyz     — GP additive noise, bicubic-rescaled
+                           (lib/utils/augmentation.py:73-90)
+  * dropout_random_ellipses — random ellipse dropouts
+                           (lib/utils/augmentation.py:92-126)
+  * perturb_mask         — the region-refinement mask perturbation suite:
+                           erode/dilate, ellipse add/drop, translate, rotate,
+                           cut, add (lib/utils/augmentation.py:195-509)
+
+All functions are host-side numpy/cv2 — they run in dataloader prefetch
+threads; the hot normalization/backprojection happens on device
+(ops/preprocess.py).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional
+
+import cv2
+import numpy as np
+
+# lib/datasets/tabletop_object.py:23-55
+DEFAULT_NOISE_PARAMS: dict = {
+    "gamma_shape": 1000.0,
+    "gamma_scale": 0.001,
+    "gaussian_scale": 0.005,
+    "gp_rescale_factor": 4,
+    "ellipse_dropout_mean": 10,
+    "ellipse_gamma_shape": 5.0,
+    "ellipse_gamma_scale": 1.0,
+}
+
+
+def _rng(rng: Optional[np.random.RandomState]) -> np.random.RandomState:
+    return rng if rng is not None else np.random.random.__self__
+
+
+# ---------------------------------------------------------------------------
+# RGB
+# ---------------------------------------------------------------------------
+
+def chromatic_transform(im: np.ndarray, label: Optional[np.ndarray] = None,
+                        rng: Optional[np.random.RandomState] = None,
+                        d_h=None, d_s=None, d_l=None) -> np.ndarray:
+    """Random hue/luminosity/saturation jitter on a BGR uint8 image
+    (blob.py:74-99)."""
+    r = _rng(rng)
+    if d_h is None:
+        d_h = (r.rand(1) - 0.5) * 0.1 * 180
+    if d_l is None:
+        d_l = (r.rand(1) - 0.5) * 0.2 * 256
+    if d_s is None:
+        d_s = (r.rand(1) - 0.5) * 0.2 * 256
+    hls = cv2.cvtColor(im, cv2.COLOR_BGR2HLS)
+    h, l, s = cv2.split(hls)
+    new_h = (h + d_h) % 180
+    new_l = np.clip(l + d_l, 0, 255)
+    new_s = np.clip(s + d_s, 0, 255)
+    new_hls = cv2.merge((new_h, new_l, new_s)).astype("uint8")
+    new_im = cv2.cvtColor(new_hls, cv2.COLOR_HLS2BGR)
+    if label is not None:
+        keep = label > 0
+        new_im[keep] = im[keep]
+    return new_im
+
+
+def add_noise(image: np.ndarray, level: float = 0.1,
+              rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+    """90% Gaussian noise / 10% motion blur on a BGR uint8 image
+    (blob.py:102-129)."""
+    r = _rng(rng)
+    if r.rand(1) < 0.9:
+        row, col, ch = image.shape
+        noise_level = r.uniform(0, level)
+        sigma = r.rand(1) * noise_level * 256
+        gauss = sigma * r.randn(row, col)
+        gauss = np.repeat(gauss[:, :, np.newaxis], ch, axis=2)
+        noisy = np.clip(image + gauss, 0, 255)
+    else:
+        sizes = [3, 5, 7, 9, 11, 15]
+        size = sizes[int(r.randint(len(sizes), size=1))]
+        kernel = np.zeros((size, size))
+        if r.rand(1) < 0.5:
+            kernel[(size - 1) // 2, :] = np.ones(size)
+        else:
+            kernel[:, (size - 1) // 2] = np.ones(size)
+        noisy = cv2.filter2D(image, -1, kernel / size)
+    return noisy.astype("uint8")
+
+
+# ---------------------------------------------------------------------------
+# depth (DexNet-style)
+# ---------------------------------------------------------------------------
+
+def add_noise_to_depth(depth_img: np.ndarray, noise_params: Mapping,
+                       rng: Optional[np.random.RandomState] = None
+                       ) -> np.ndarray:
+    """Multiplicative gamma noise (augmentation.py:58-71)."""
+    r = _rng(rng)
+    mult = r.gamma(noise_params["gamma_shape"], noise_params["gamma_scale"])
+    return depth_img * mult
+
+
+def add_noise_to_xyz(xyz_img: np.ndarray, depth_img: np.ndarray,
+                     noise_params: Mapping,
+                     rng: Optional[np.random.RandomState] = None
+                     ) -> np.ndarray:
+    """Approximate-GP additive noise: small anisotropic Gaussian field,
+    bicubically upscaled, added where depth is valid (augmentation.py:73-90)."""
+    r = _rng(rng)
+    xyz_img = xyz_img.copy()
+    h, w, c = xyz_img.shape
+    gp = noise_params["gp_rescale_factor"]
+    small_h, small_w = (np.array([h, w]) / gp).astype(int)
+    noise = r.normal(0.0, noise_params["gaussian_scale"],
+                     size=(small_h, small_w, c))
+    noise = cv2.resize(noise, (w, h), interpolation=cv2.INTER_CUBIC)
+    valid = depth_img > 0
+    xyz_img[valid, :] += noise[valid, :]
+    return xyz_img
+
+
+def dropout_random_ellipses(depth_img: np.ndarray, noise_params: Mapping,
+                            rng: Optional[np.random.RandomState] = None
+                            ) -> np.ndarray:
+    """Zero out Poisson-many random ellipses (sensor-dropout robustness,
+    augmentation.py:92-126)."""
+    r = _rng(rng)
+    depth_img = depth_img.copy()
+    num = r.poisson(noise_params["ellipse_dropout_mean"])
+    nonzero = np.array(np.where(depth_img > 0)).T
+    if nonzero.shape[0] == 0 or num == 0:
+        return depth_img
+    centers = nonzero[r.choice(nonzero.shape[0], size=num), :]
+    x_radii = r.gamma(noise_params["ellipse_gamma_shape"],
+                      noise_params["ellipse_gamma_scale"], size=num)
+    y_radii = r.gamma(noise_params["ellipse_gamma_shape"],
+                      noise_params["ellipse_gamma_scale"], size=num)
+    angles = r.randint(0, 360, size=num)
+    for i in range(num):
+        mask = np.zeros_like(depth_img)
+        mask = cv2.ellipse(
+            mask, tuple(int(v) for v in centers[i][::-1]),
+            (int(np.round(x_radii[i])), int(np.round(y_radii[i]))),
+            angle=int(angles[i]), startAngle=0, endAngle=360, color=1,
+            thickness=-1)
+        depth_img[mask == 1] = 0
+    return depth_img
+
+
+# ---------------------------------------------------------------------------
+# mask perturbation (region-refinement training mode)
+# ---------------------------------------------------------------------------
+
+def _translate(img, tx, ty, interpolation=cv2.INTER_LINEAR):
+    h, w = img.shape[:2]
+    m = np.array([[1, 0, tx], [0, 1, ty]], dtype=np.float32)
+    return cv2.warpAffine(img, m, (w, h), flags=interpolation)
+
+
+def _rotate(img, angle, interpolation=cv2.INTER_LINEAR):
+    h, w = img.shape[:2]
+    m = cv2.getRotationMatrix2D((w // 2, h // 2), angle, 1)
+    return cv2.warpAffine(img, m, (w, h), flags=interpolation)
+
+
+def _mask_ok(mask: np.ndarray) -> bool:
+    return bool(mask.sum() >= 2)
+
+
+def morph_open_close(mask: np.ndarray, cfg_train,
+                     rng: np.random.RandomState) -> np.ndarray:
+    """Random erosion/dilation/opening/closing with beta-sampled kernel size
+    (augmentation.py:195-240 semantics)."""
+    mask = mask.copy()
+    h, w = mask.shape
+    sidelength = np.mean([h, w])
+    for _ in range(int(cfg_train.morphology_max_iters)):
+        ksize = int(round(sidelength * rng.beta(
+            cfg_train.label_dilation_alpha, cfg_train.label_dilation_beta)))
+        ksize = max(ksize, 1)
+        kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (ksize, ksize))
+        op = rng.randint(4)
+        new = cv2.morphologyEx(
+            mask.astype(np.uint8),
+            [cv2.MORPH_ERODE, cv2.MORPH_DILATE, cv2.MORPH_OPEN,
+             cv2.MORPH_CLOSE][op], kernel)
+        if _mask_ok(new):
+            mask = new
+    return mask.astype(mask.dtype)
+
+
+def random_translation(mask: np.ndarray, cfg_train,
+                       rng: np.random.RandomState) -> np.ndarray:
+    """Translate by a beta-sampled fraction of the mask extent
+    (augmentation.py:309-345 semantics)."""
+    ys, xs = np.nonzero(mask)
+    if ys.size == 0:
+        return mask
+    extent = max(xs.max() - xs.min(), ys.max() - ys.min(), 1)
+    pct = max(rng.beta(cfg_train.translation_alpha,
+                       cfg_train.translation_beta),
+              cfg_train.translation_percentage_min)
+    d = int(round(pct * extent))
+    tx = rng.randint(-d, d + 1)
+    ty = rng.randint(-d, d + 1)
+    new = _translate(mask.astype(np.uint8), tx, ty, cv2.INTER_NEAREST)
+    return new if _mask_ok(new) else mask
+
+
+def random_rotation(mask: np.ndarray, cfg_train,
+                    rng: np.random.RandomState) -> np.ndarray:
+    """Rotate by a uniform angle within +-rotation_angle_max
+    (augmentation.py:348-378 semantics)."""
+    angle = rng.uniform(-cfg_train.rotation_angle_max,
+                        cfg_train.rotation_angle_max)
+    new = _rotate(mask.astype(np.uint8), angle, cv2.INTER_NEAREST)
+    return new if _mask_ok(new) else mask
+
+
+def random_ellipses(mask: np.ndarray, cfg_train, rng: np.random.RandomState,
+                    add: bool) -> np.ndarray:
+    """Add or remove Poisson-many gamma-sized ellipses
+    (augmentation.py:242-307 semantics)."""
+    mask = mask.copy().astype(np.uint8)
+    num = rng.poisson(cfg_train.num_ellipses_mean)
+    ys, xs = np.nonzero(mask)
+    if ys.size == 0 or num == 0:
+        return mask
+    extent = max(xs.max() - xs.min(), ys.max() - ys.min(), 1)
+    for _ in range(num):
+        i = rng.randint(ys.size)
+        cy, cx = int(ys[i]), int(xs[i])
+        rx = max(int(round(rng.gamma(cfg_train.ellipse_gamma_base_shape,
+                                     cfg_train.ellipse_gamma_base_scale)
+                           * cfg_train.ellipse_size_percentage * extent)), 1)
+        ry = max(int(round(rng.gamma(cfg_train.ellipse_gamma_base_shape,
+                                     cfg_train.ellipse_gamma_base_scale)
+                           * cfg_train.ellipse_size_percentage * extent)), 1)
+        angle = rng.randint(0, 360)
+        ell = np.zeros_like(mask)
+        ell = cv2.ellipse(ell, (cx, cy), (rx, ry), angle=angle, startAngle=0,
+                          endAngle=360, color=1, thickness=-1)
+        new = mask | ell if add else mask & ~ell
+        if _mask_ok(new):
+            mask = new
+    return mask
+
+
+def random_cut(mask: np.ndarray, cfg_train,
+               rng: np.random.RandomState) -> np.ndarray:
+    """Cut a random side strip off the mask (augmentation.py:381-429
+    semantics)."""
+    mask = mask.copy().astype(np.uint8)
+    ys, xs = np.nonzero(mask)
+    if ys.size == 0:
+        return mask
+    x0, x1, y0, y1 = xs.min(), xs.max(), ys.min(), ys.max()
+    pct = rng.uniform(cfg_train.cut_percentage_min,
+                      cfg_train.cut_percentage_max)
+    side = rng.randint(4)
+    new = mask.copy()
+    if side == 0:
+        new[:, x0:x0 + int(round(pct * (x1 - x0 + 1)))] = 0
+    elif side == 1:
+        cut = int(round(pct * (x1 - x0 + 1)))
+        new[:, x1 - cut + 1:x1 + 1] = 0
+    elif side == 2:
+        new[y0:y0 + int(round(pct * (y1 - y0 + 1))), :] = 0
+    else:
+        cut = int(round(pct * (y1 - y0 + 1)))
+        new[y1 - cut + 1:y1 + 1, :] = 0
+    return new if _mask_ok(new) else mask
+
+
+def random_add(mask: np.ndarray, cfg_train,
+               rng: np.random.RandomState) -> np.ndarray:
+    """Add a translated+rotated copy of the mask next to itself
+    (augmentation.py:432-509 semantics)."""
+    mask = mask.copy().astype(np.uint8)
+    ys, xs = np.nonzero(mask)
+    if ys.size == 0:
+        return mask
+    extent_x = max(int(xs.max()) - int(xs.min()), 1)
+    extent_y = max(int(ys.max()) - int(ys.min()), 1)
+    pct = rng.uniform(cfg_train.add_percentage_min,
+                      cfg_train.add_percentage_max)
+    tx = int(round(pct * extent_x)) * rng.choice([-1, 1])
+    ty = int(round(pct * extent_y)) * rng.choice([-1, 1])
+    piece = _translate(mask, tx, ty, cv2.INTER_NEAREST)
+    piece = _rotate(piece, rng.uniform(-10, 10), cv2.INTER_NEAREST)
+    new = mask | piece
+    return new if _mask_ok(new) else mask
+
+
+def perturb_mask(mask: np.ndarray, cfg_train,
+                 rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+    """Full perturbed-mask generator for region-refinement training:
+    applies each sub-perturbation with its configured rate
+    (augmentation.py:129-192 orchestration semantics, driven by the
+    cfg.TRAIN.rate_of_* distribution parameters, lib/fcn/config.py:267-307).
+    """
+    r = rng if rng is not None else np.random.RandomState()
+    out = (mask > 0).astype(np.uint8)
+    for _ in range(int(cfg_train.max_augmentation_tries)):
+        cand = out.copy()
+        if r.rand() < cfg_train.rate_of_morphological_transform:
+            cand = morph_open_close(cand, cfg_train, r)
+        if r.rand() < cfg_train.rate_of_translation:
+            cand = random_translation(cand, cfg_train, r)
+        if r.rand() < cfg_train.rate_of_rotation:
+            cand = random_rotation(cand, cfg_train, r)
+        if r.rand() < cfg_train.rate_of_ellipses:
+            cand = random_ellipses(cand, cfg_train, r,
+                                   add=bool(r.rand() < 0.5))
+        if r.rand() < cfg_train.rate_of_label_cutting:
+            cand = random_cut(cand, cfg_train, r)
+        if r.rand() < cfg_train.rate_of_label_adding:
+            cand = random_add(cand, cfg_train, r)
+        if _mask_ok(cand):
+            return cand
+    return out

@@ -1,0 +1,168 @@
+"""Minimal PCD (Point Cloud Data) reader.
+
+Replaces the reference's `python-pcl` binding (`pcl.load(...).to_array()`,
+lib/datasets/ocid_object.py:104-112, lib/datasets/osd_object.py:94-100) with
+a dependency-free parser for the PCD v0.7 format: ascii, binary, and
+binary_compressed (LZF) encodings.
+
+Only the x/y/z float32 fields are extracted — that is all the pipeline
+consumes (the reference's `to_array()` on XYZ[RGB] clouds likewise yields
+[N, 3]).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+_HEADER_FIELDS = ("VERSION", "FIELDS", "SIZE", "TYPE", "COUNT", "WIDTH",
+                  "HEIGHT", "VIEWPOINT", "POINTS", "DATA")
+
+
+def _parse_header(f) -> dict:
+    header: dict = {}
+    while True:
+        line = f.readline()
+        if not line:
+            raise ValueError("unexpected EOF in PCD header")
+        line = line.decode("ascii", errors="replace").strip()
+        if not line or line.startswith("#"):
+            continue
+        key, _, rest = line.partition(" ")
+        key = key.upper()
+        if key in _HEADER_FIELDS:
+            header[key] = rest.split()
+        if key == "DATA":
+            header["DATA"] = rest.strip()
+            break
+    for req in ("FIELDS", "SIZE", "TYPE", "COUNT", "POINTS", "DATA"):
+        if req not in header:
+            raise ValueError(f"PCD header missing {req}")
+    return header
+
+
+def lzf_decompress(data: bytes, expected_size: int) -> bytes:
+    """Pure-python LZF decompression (the PCL binary_compressed codec)."""
+    out = bytearray(expected_size)
+    i, o, n = 0, 0, len(data)
+    while i < n:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 32:  # literal run of ctrl+1 bytes
+            length = ctrl + 1
+            out[o:o + length] = data[i:i + length]
+            i += length
+            o += length
+        else:          # back reference
+            length = ctrl >> 5
+            if length == 7:
+                length += data[i]
+                i += 1
+            ref = o - ((ctrl & 0x1F) << 8) - data[i] - 1
+            i += 1
+            length += 2
+            for _ in range(length):  # may overlap; byte-by-byte copy
+                out[o] = out[ref]
+                o += 1
+                ref += 1
+    return bytes(out[:o])
+
+
+def _numpy_dtype(type_char: str, size: int):
+    return np.dtype({"F": f"<f{size}", "I": f"<i{size}",
+                     "U": f"<u{size}"}[type_char])
+
+
+def load_pcd_xyz(path: str | os.PathLike) -> np.ndarray:
+    """Read a PCD file and return its x, y, z fields as [N, 3] float32.
+
+    NaNs are preserved (callers zero them, matching
+    lib/datasets/ocid_object.py:106).
+    """
+    with open(path, "rb") as f:
+        header = _parse_header(f)
+        fields = header["FIELDS"]
+        sizes = [int(s) for s in header["SIZE"]]
+        types = header["TYPE"]
+        counts = [int(c) for c in header.get("COUNT", ["1"] * len(fields))]
+        points = int(header["POINTS"][0])
+        data_kind = header["DATA"].lower()
+
+        # per-point record layout
+        offsets, offset = [], 0
+        for sz, cnt in zip(sizes, counts):
+            offsets.append(offset)
+            offset += sz * cnt
+        point_size = offset
+
+        def field_slice(name: str):
+            i = fields.index(name)
+            return offsets[i], sizes[i], types[i]
+
+        if data_kind == "ascii":
+            rows = np.loadtxt(f, dtype=np.float64, ndmin=2)
+            cols = []
+            col = 0
+            col_index = {}
+            for name, cnt in zip(fields, counts):
+                col_index[name] = col
+                col += cnt
+            for name in ("x", "y", "z"):
+                cols.append(rows[:, col_index[name]])
+            return np.stack(cols, axis=1).astype(np.float32)
+
+        if data_kind == "binary":
+            raw = f.read(point_size * points)
+            out = np.empty((points, 3), np.float32)
+            for j, name in enumerate(("x", "y", "z")):
+                off, sz, tc = field_slice(name)
+                # strided view over the packed per-point records
+                arr = np.ndarray((points,), dtype=_numpy_dtype(tc, sz),
+                                 buffer=raw, offset=off,
+                                 strides=(point_size,))
+                out[:, j] = arr.astype(np.float32)
+            return out
+
+        if data_kind == "binary_compressed":
+            comp_size, uncomp_size = struct.unpack("<II", f.read(8))
+            raw = lzf_decompress(f.read(comp_size), uncomp_size)
+            # compressed PCDs store fields contiguously (SoA), not interleaved
+            out = np.empty((points, 3), np.float32)
+            field_off = 0
+            for name, sz, tc, cnt in zip(fields, sizes, types, counts):
+                n_bytes = sz * cnt * points
+                if name in ("x", "y", "z"):
+                    arr = np.frombuffer(raw, dtype=_numpy_dtype(tc, sz),
+                                        count=points, offset=field_off)
+                    out[:, ("x", "y", "z").index(name)] = arr.astype(
+                        np.float32)
+                field_off += n_bytes
+            return out
+
+    raise ValueError(f"unsupported PCD DATA encoding: {data_kind}")
+
+
+def save_pcd_xyz(path: str | os.PathLike, xyz: np.ndarray,
+                 width: int | None = None, height: int | None = None,
+                 binary: bool = True) -> None:
+    """Write an [N, 3] (or [H, W, 3]) float32 cloud as a PCD file (testing
+    and dataset-preparation helper)."""
+    if xyz.ndim == 3:
+        height, width = xyz.shape[:2]
+        xyz = xyz.reshape(-1, 3)
+    n = xyz.shape[0]
+    width = width or n
+    height = height or 1
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\n"
+        "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+        f"WIDTH {width}\nHEIGHT {height}\nVIEWPOINT 0 0 0 1 0 0 0\n"
+        f"POINTS {n}\nDATA {'binary' if binary else 'ascii'}\n")
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        if binary:
+            f.write(np.ascontiguousarray(xyz, np.float32).tobytes())
+        else:
+            np.savetxt(f, xyz, fmt="%.8g")
