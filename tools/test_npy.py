@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Segment .npy sample dicts (CLI parity with the reference
+tools/test_npy.py: input files are numpy dicts with 'rgb', 'depth', and
+optionally 'debug_info' carrying intrinsics).
+
+Example:
+  python tools/test_npy.py --imgdir samples/ --network seg_resnet34_8s_embedding \
+      --pretrained ckpt.pth
+"""
+
+import argparse
+
+import _init_paths  # noqa: F401  (repo-root import bootstrap)
+import glob
+import os
+import sys
+
+import numpy as np
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(
+        description="Segment unseen objects in .npy RGB-D dumps (TPU)")
+    parser.add_argument("--gpu", dest="gpu_id", type=int, default=0)
+    parser.add_argument("--pretrained", type=str, default=None)
+    parser.add_argument("--pretrained_crop", type=str, default=None)
+    parser.add_argument("--cfg", dest="cfg_file", type=str, default=None)
+    parser.add_argument("--imgdir", type=str, required=True)
+    parser.add_argument("--outdir", type=str, default=None)
+    parser.add_argument("--network", dest="network_name", type=str,
+                        default="seg_resnet34_8s_embedding")
+    parser.add_argument("--fast", action="store_true")
+    if len(sys.argv) == 1:
+        parser.print_help()
+        sys.exit(1)
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax.numpy as jnp
+
+    from unseenobjectclustering_tpu.config import Config
+    from unseenobjectclustering_tpu.data.datasets import compute_xyz_np
+    from unseenobjectclustering_tpu.engine.builder import build_segmentor
+
+    cfg = (Config.from_yaml(args.cfg_file) if args.cfg_file
+           else Config.default())
+    cfg = cfg.replace(MODE="TEST")
+    if args.fast:
+        cfg = cfg.replace(CLUSTER={"DTYPE": "bfloat16", "SEED_SUBSAMPLE": 4})
+
+    files = sorted(glob.glob(os.path.join(args.imgdir, "*.npy")))
+    if not files:
+        print(f"no .npy files under {args.imgdir}")
+        sys.exit(1)
+    outdir = args.outdir or args.imgdir
+    os.makedirs(outdir, exist_ok=True)
+
+    pixel_means = cfg.pixel_means / 255.0
+    segmentor = None
+    for path in files:
+        data = np.load(path, allow_pickle=True).item()
+        rgb = data["rgb"]  # BGR uint8 HWC
+        depth = data.get("depth")
+        h, w = rgb.shape[:2]
+        info = data.get("debug_info", {}) or {}
+        fx = float(info.get("fx", 616.0))
+        fy = float(info.get("fy", 616.0))
+        px = float(info.get("x_offset", w / 2.0))
+        py = float(info.get("y_offset", h / 2.0))
+
+        if segmentor is None:
+            segmentor = build_segmentor(
+                cfg, args.network_name, pretrained=args.pretrained,
+                pretrained_crop=args.pretrained_crop, height=h, width=w,
+                depth_threshold=0.8,
+                model_dtype=jnp.bfloat16 if args.fast else None)
+
+        image = (rgb.astype(np.float32) / 255.0 - pixel_means)[None]
+        xyz = None
+        if depth is not None and cfg.INPUT in ("DEPTH", "RGBD"):
+            xyz = compute_xyz_np(depth.astype(np.float32), fx, fy, px,
+                                 py)[None]
+        res = segmentor.segment(image, xyz,
+                                refine=args.pretrained_crop is not None)
+        labels = (res.labels_refined if res.labels_refined is not None
+                  else res.labels)[0]
+        out = os.path.join(
+            outdir, os.path.basename(path).replace(".npy", "-label.npy"))
+        np.save(out, labels)
+        print(f"{path}: {len(np.unique(labels)) - 1} objects -> {out}")
+
+
+if __name__ == "__main__":
+    main()

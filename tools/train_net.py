@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Train an unseen-object embedding network (CLI parity with the reference
+tools/train_net.py:30-160).
+
+Example:
+  python tools/train_net.py \
+      --network seg_resnet34_8s_embedding --dataset tabletop_object_train \
+      --cfg experiments/cfgs/seg_resnet34_8s_embedding_cosine_rgbd_add_tabletop.yml \
+      --solver adam --epochs 16
+"""
+
+import argparse
+
+import _init_paths  # noqa: F401  (repo-root import bootstrap)
+import pprint
+import sys
+
+import numpy as np
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(
+        description="Train an unseen-object clustering network (TPU)")
+    parser.add_argument("--epochs", type=int, default=16)
+    parser.add_argument("--startepoch", type=int, default=0)
+    parser.add_argument("--pretrained", type=str, default=None,
+                        help="initialize with pretrained checkpoint "
+                             "(.pth or orbax dir)")
+    parser.add_argument("--cfg", dest="cfg_file", type=str, default=None)
+    parser.add_argument("--solver", type=str, default="sgd",
+                        choices=("adam", "sgd"))
+    parser.add_argument("--dataset", dest="dataset_name", type=str,
+                        default="tabletop_object_train")
+    parser.add_argument("--dataset_root", type=str, default=None)
+    parser.add_argument("--rand", dest="randomize", action="store_true")
+    parser.add_argument("--network", dest="network_name", type=str,
+                        default="seg_resnet34_8s_embedding")
+    parser.add_argument("--batch_size", type=int, default=None,
+                        help="override cfg.TRAIN.IMS_PER_BATCH")
+    parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--max_k", type=int, default=32,
+                        help="static bound on GT instances per image")
+    if len(sys.argv) == 1:
+        parser.print_help()
+        sys.exit(1)
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    print("Called with args:")
+    print(args)
+
+    from unseenobjectclustering_tpu.config import Config, get_output_dir
+    from unseenobjectclustering_tpu.data import DataLoader, get_dataset
+    from unseenobjectclustering_tpu.engine.builder import (
+        load_network_variables)
+    from unseenobjectclustering_tpu.engine.train import (create_train_state,
+                                                         train_epochs)
+    from unseenobjectclustering_tpu.parallel import make_mesh, replicate
+
+    cfg = (Config.from_yaml(args.cfg_file) if args.cfg_file
+           else Config.default())
+    cfg = cfg.replace(MODE="TRAIN")
+    print("Using config:")
+    pprint.pprint(cfg.to_dict())
+
+    if not args.randomize:
+        np.random.seed(cfg.RNG_SEED)
+
+    dataset = get_dataset(args.dataset_name, cfg, path=args.dataset_root)
+    output_dir = get_output_dir(cfg, dataset.name)
+    print(f"Output will be saved to `{output_dir}`")
+
+    batch = args.batch_size or int(cfg.TRAIN.IMS_PER_BATCH)
+    import jax
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.ravel())
+    if batch % n_dev:
+        batch = (batch // n_dev + 1) * n_dev
+        print(f"rounded batch to {batch} for {n_dev} devices")
+    loader = DataLoader(dataset, batch_size=batch, shuffle=True,
+                        num_workers=args.workers, seed=int(cfg.RNG_SEED))
+
+    sample_hw = (int(cfg.TRAIN.SYN_CROP_SIZE),) * 2 if cfg.TRAIN.SYN_CROP \
+        else (480, 640)
+    variables = load_network_variables(cfg, args.network_name,
+                                       args.pretrained, *sample_hw)
+    state = create_train_state(
+        cfg, network_name=args.network_name, solver=args.solver,
+        steps_per_epoch=len(loader), start_epoch=args.startepoch,
+        height=sample_hw[0], width=sample_hw[1], variables=variables)
+    state = replicate(state, mesh)
+
+    print(f"=> training on {n_dev} device(s): {mesh}")
+    train_epochs(cfg, state, loader, epochs=args.epochs,
+                 start_epoch=args.startepoch, solver=args.solver,
+                 output_dir=output_dir, mesh=mesh, max_k=args.max_k)
+
+
+if __name__ == "__main__":
+    main()

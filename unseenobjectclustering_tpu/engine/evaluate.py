@@ -1,0 +1,115 @@
+"""Dataset evaluation harness — the test_segnet equivalent.
+
+Iterates a dataset through the two-stage Segmentor, computes Overlap /
+Boundary P/R/F per image (pre- and post-refinement), persists per-image
+results, and prints the same averaged metric table as the reference
+(lib/fcn/test_dataset.py:271-381).
+
+Depth-filter thresholds follow the reference: 0.5 for OCID, 0.8 for OSD
+(test_dataset.py:299-305); anything else keeps the Segmentor's configured
+threshold.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from unseenobjectclustering_tpu.engine.pipeline import Segmentor
+from unseenobjectclustering_tpu.utils.evaluation import multilabel_metrics
+
+
+def depth_threshold_for(dataset_name: str) -> Optional[float]:
+    """Reference per-dataset depth-validity thresholds
+    (test_dataset.py:299-305)."""
+    if "ocid" in dataset_name:
+        return 0.5
+    if "osd" in dataset_name:
+        return 0.8
+    return None
+
+
+def average_metrics(metrics_all: list[dict]) -> dict:
+    out: dict = {}
+    n = max(len(metrics_all), 1)
+    for m in metrics_all:
+        for k, v in m.items():
+            out[k] = out.get(k, 0.0) + v
+    return {k: v / n for k, v in out.items()}
+
+
+def print_metric_table(result: dict, header: str = "") -> None:
+    """The reference's averaged table layout (test_dataset.py:347-381)."""
+    print("========================================================")
+    if header:
+        print(header)
+    for k in sorted(result.keys()):
+        print("%s: %f" % (k, result[k]))
+    for k in ("Objects Precision", "Objects Recall", "Objects F-measure",
+              "Boundary Precision", "Boundary Recall", "Boundary F-measure",
+              "obj_detected_075_percentage"):
+        if k in result:
+            print("%.6f" % result[k])
+    print("========================================================")
+
+
+def evaluate_dataset(dataset, segmentor: Segmentor,
+                     output_dir: Optional[str] = None,
+                     refine: bool = True,
+                     save_results: bool = True,
+                     max_images: Optional[int] = None,
+                     verbose: bool = True) -> tuple[dict, dict]:
+    """Run the full two-stage evaluation over a dataset.
+
+    Returns (averaged stage-1 metrics, averaged refined metrics).
+    """
+    if output_dir and save_results:
+        os.makedirs(output_dir, exist_ok=True)
+
+    metrics_all: list[dict] = []
+    metrics_refined: list[dict] = []
+    n = len(dataset) if max_images is None else min(len(dataset), max_images)
+
+    for i in range(n):
+        t0 = time.time()
+        sample = dataset[i]
+        image = sample["image_color"][None]
+        xyz = sample.get("depth")
+        xyz_b = xyz[None] if xyz is not None else None
+        gt = np.asarray(sample["label"])
+
+        res = segmentor.segment(image, xyz_b, refine=refine)
+        prediction = res.labels[0]
+        m = multilabel_metrics(prediction, gt)
+        metrics_all.append(m)
+
+        if res.labels_refined is not None:
+            prediction_refined = res.labels_refined[0]
+        else:
+            prediction_refined = prediction.copy()
+        m_ref = multilabel_metrics(prediction_refined, gt)
+        metrics_refined.append(m_ref)
+
+        if output_dir and save_results:
+            import scipy.io
+
+            scipy.io.savemat(
+                os.path.join(output_dir, "%06d.mat" % i),
+                {"labels": prediction, "labels_refined": prediction_refined,
+                 "filename": sample.get("filename", str(i))},
+                do_compression=True)
+
+        if verbose:
+            print(f"[{i}/{n}] F={m['Objects F-measure']:.4f} "
+                  f"F_ref={m_ref['Objects F-measure']:.4f} "
+                  f"time={time.time() - t0:.2f}s")
+
+    result = average_metrics(metrics_all)
+    result_refined = average_metrics(metrics_refined)
+    if verbose:
+        print_metric_table(result, f"{n} images")
+        print_metric_table(result_refined, "Refined")
+    return result, result_refined

@@ -159,6 +159,56 @@ def train_step(state: TrainState, img, xyz, label, *, alpha: float,
     return new_state, metrics
 
 
+def train_epochs(cfg: Config, state: TrainState, dataloader, *,
+                 epochs: int, start_epoch: int = 0,
+                 solver: str = "adam", output_dir: Optional[str] = None,
+                 mesh=None, max_k: int = 32, log_every: int = 20,
+                 snapshot_epochs: Optional[int] = None) -> TrainState:
+    """Epoch loop with per-iteration logging and orbax snapshots.
+
+    Mirrors tools/train_net.py:146-160 + lib/fcn/train.py:37-76: per-iter
+    loss/intra/inter/lr line, snapshot every SNAPSHOT_EPOCHS.  Data
+    parallelism: pass a Mesh and the batch is sharded over it (state must
+    already be replicated).
+    """
+    import time as _time
+
+    from unseenobjectclustering_tpu.parallel import shard_batch
+
+    step_fn = make_train_step(cfg, max_k=max_k)
+    _, schedule = make_optimizer(cfg, solver, max(len(dataloader), 1),
+                                 start_epoch)
+    snapshot_epochs = snapshot_epochs or int(cfg.TRAIN.SNAPSHOT_EPOCHS)
+
+    for epoch in range(start_epoch, epochs):
+        epoch_size = len(dataloader)
+        t_last = _time.time()
+        for i, batch in enumerate(dataloader):
+            img = batch.get("image_color")
+            xyz = batch.get("depth")
+            label = batch["label"]
+            if mesh is not None:
+                img, xyz, label = shard_batch((img, xyz, label), mesh)
+            state, metrics = step_fn(state, img, xyz, label)
+            if i % log_every == 0:
+                loss = float(metrics["loss"])
+                lr = float(schedule(int(state.step)))
+                dt = _time.time() - t_last
+                t_last = _time.time()
+                print("[%d/%d][%d/%d], loss %.4f, loss intra: %.4f, "
+                      "loss_inter %.4f, lr %.6f, time %.2f"
+                      % (epoch, epochs, i, epoch_size, loss,
+                         float(metrics["intra"]), float(metrics["inter"]),
+                         lr, dt))
+        if output_dir and ((epoch + 1) % snapshot_epochs == 0
+                           or epoch == epochs - 1):
+            from unseenobjectclustering_tpu.utils.checkpoint import (
+                save_checkpoint)
+            path = save_checkpoint(output_dir, epoch + 1, state)
+            print(f"snapshot: {path}")
+    return state
+
+
 def make_train_step(cfg: Config, max_k: int = 32):
     """Bind the config's loss hyperparameters into a step function."""
     kw = dict(alpha=float(cfg.TRAIN.EMBEDDING_ALPHA),

@@ -1,0 +1,266 @@
+"""Checkpoint IO: PyTorch release-checkpoint conversion + orbax snapshots.
+
+The reference ships `.pth` state_dicts for the full-image and crop networks
+(README.md:31-38) saved as either raw state_dicts or {'model': ...} wrappers
+(tools/train_net.py:115-117).  `convert_torch_checkpoint` maps them onto this
+framework's flax variable tree:
+
+  torch key layout (lib/networks/SEG.py + resnet_dilated.py + resnet.py):
+    [module.]fcn.resnet{34,50}_8s.conv1.weight
+    [module.]fcn.resnet34_8s.bn1.{weight,bias,running_mean,running_var}
+    [module.]fcn.resnet34_8s.layer<L>.<i>.conv<j>.weight
+    [module.]fcn.resnet34_8s.layer<L>.<i>.bn<j>.*
+    [module.]fcn.resnet34_8s.layer<L>.<i>.downsample.{0,1}.*
+    [module.]fcn.resnet34_8s.fc.{weight,bias}
+    [module.]fcn_depth.resnet34_8s.*          (fusion add/cat second tower)
+
+  flax layout (models/resnet.py):
+    params/fcn/conv1/kernel                  [kh,kw,in,out] (torch: [out,in,kh,kw])
+    params/fcn/bn1/{scale,bias}; batch_stats/fcn/bn1/{mean,var}
+    params/fcn/layer<L>_<i>/{conv1,conv2,conv3,downsample_conv}/kernel
+    params/fcn/layer<L>_<i>/{bn1,bn2,bn3,downsample_bn}/...
+    params/fcn/fc/{kernel,bias}
+
+Key-remap leniency matches the reference's update_model (SEG.py:130-159):
+'module.' prefixes are stripped, legacy 'decoder.features.' keys are
+re-rooted, and mismatched shapes are skipped with a warning rather than
+raised.
+
+Orbax helpers snapshot the full TrainState (params + batch_stats + optimizer
+state + step) — an improvement over the reference, which drops optimizer
+state (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import warnings
+from typing import Any, Mapping, Optional
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# torch -> flax conversion
+# ---------------------------------------------------------------------------
+
+def _to_numpy(v) -> np.ndarray:
+    if hasattr(v, "detach"):
+        return v.detach().cpu().numpy()
+    return np.asarray(v)
+
+
+def _set(tree: dict, path: list[str], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def normalize_torch_keys(state_dict: Mapping[str, Any]) -> dict[str, Any]:
+    """Strip DataParallel 'module.' prefixes and re-root legacy
+    'decoder.features.' keys (SEG.py:141-152); unwrap {'model': ...}."""
+    if "model" in state_dict and isinstance(state_dict["model"], Mapping):
+        state_dict = state_dict["model"]
+    out = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[7:]
+        if "decoder.features." in k:
+            k = "decoder." + k.split("decoder.features.", 1)[1]
+        out[k] = v
+    return out
+
+
+_TOWER_RE = re.compile(r"^(fcn|fcn_depth)\.resnet\d+_8s\.(.*)$")
+_LAYER_RE = re.compile(r"^layer(\d)\.(\d+)\.(.*)$")
+
+
+def _convert_resnet_param(rest: str, value: np.ndarray
+                          ) -> Optional[tuple[str, list[str], np.ndarray]]:
+    """Map one tower-relative torch key to (collection, path, array)."""
+    m = _LAYER_RE.match(rest)
+    if m:
+        layer, block, tail = int(m.group(1)), int(m.group(2)), m.group(3)
+        prefix = [f"layer{layer}_{block}"]
+        tail = tail.replace("downsample.0", "downsample_conv").replace(
+            "downsample.1", "downsample_bn")
+        parts = tail.split(".")
+        mod, leaf = ".".join(parts[:-1]), parts[-1]
+        return _convert_module_param(prefix + [mod], leaf, value)
+    parts = rest.split(".")
+    mod, leaf = ".".join(parts[:-1]), parts[-1]
+    return _convert_module_param([mod], leaf, value)
+
+
+def _convert_module_param(path: list[str], leaf: str, value: np.ndarray
+                          ) -> Optional[tuple[str, list[str], np.ndarray]]:
+    mod = path[-1]
+    is_bn = mod.startswith("bn") or mod.endswith("_bn")
+    if is_bn:
+        if leaf == "weight":
+            return "params", path + ["scale"], value
+        if leaf == "bias":
+            return "params", path + ["bias"], value
+        if leaf == "running_mean":
+            return "batch_stats", path + ["mean"], value
+        if leaf == "running_var":
+            return "batch_stats", path + ["var"], value
+        return None  # num_batches_tracked
+    # conv / fc
+    if leaf == "weight":
+        if value.ndim == 4:  # [out,in,kh,kw] -> [kh,kw,in,out]
+            return "params", path + ["kernel"], value.transpose(2, 3, 1, 0)
+        return "params", path + ["kernel"], value.T
+    if leaf == "bias":
+        return "params", path + ["bias"], value
+    return None
+
+
+def convert_torch_checkpoint(state_dict: Mapping[str, Any],
+                             expected: Optional[Any] = None) -> dict:
+    """Convert a reference SEGNET state_dict to flax variables.
+
+    Args:
+      state_dict: torch state_dict (tensors or numpy arrays), possibly
+        DataParallel-prefixed or {'model': ...}-wrapped.
+      expected: optional flax variables (from model.init) to validate
+        against — keys present in `expected` but missing from the checkpoint
+        raise; shape mismatches are skipped with a warning (the reference's
+        lenient partial load, SEG.py:152-159).
+    Returns:
+      {'params': ..., 'batch_stats': ...} nested dict of numpy arrays.
+    """
+    state_dict = normalize_torch_keys(state_dict)
+    params: dict = {}
+    batch_stats: dict = {}
+    for key, v in state_dict.items():
+        m = _TOWER_RE.match(key)
+        if not m:
+            continue  # loss buffers / unrelated heads
+        tower, rest = m.group(1), m.group(2)
+        conv = _convert_resnet_param(rest, _to_numpy(v))
+        if conv is None:
+            continue
+        coll, path, arr = conv
+        _set(params if coll == "params" else batch_stats,
+             [tower] + path, arr)
+
+    variables = {"params": params, "batch_stats": batch_stats}
+    if expected is not None:
+        variables = _validate_against(variables, expected)
+    return variables
+
+
+def _validate_against(variables: dict, expected: Any) -> dict:
+    """Check converted tree against a model-init tree: every expected leaf
+    must exist with the right shape (mismatches keep the init value with a
+    warning, matching the reference's name+shape partial load)."""
+    import jax
+
+    flat_exp = _flatten(expected)
+    flat_got = _flatten(variables)
+    out = {}
+    missing = []
+    for path, exp_leaf in flat_exp.items():
+        got = flat_got.get(path)
+        if got is None:
+            missing.append("/".join(path))
+            out[path] = np.asarray(exp_leaf)
+        elif tuple(got.shape) != tuple(np.shape(exp_leaf)):
+            warnings.warn(
+                f"checkpoint shape mismatch at {'/'.join(path)}: "
+                f"{got.shape} vs expected {np.shape(exp_leaf)}; keeping init")
+            out[path] = np.asarray(exp_leaf)
+        else:
+            out[path] = got
+    if missing:
+        raise KeyError(f"checkpoint is missing {len(missing)} expected "
+                       f"parameters, e.g. {missing[:5]}")
+    extra = set(flat_got) - set(flat_exp)
+    if extra:
+        warnings.warn(f"checkpoint has {len(extra)} unused converted leaves")
+    return _unflatten(out)
+
+
+def _flatten(tree: Any, prefix: tuple = ()) -> dict[tuple, Any]:
+    if isinstance(tree, Mapping):
+        out = {}
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+        return out
+    return {prefix: tree}
+
+
+def _unflatten(flat: dict[tuple, Any]) -> dict:
+    tree: dict = {}
+    for path, v in flat.items():
+        _set(tree, list(path), v)
+    return tree
+
+
+def load_torch_checkpoint(path: str | os.PathLike,
+                          expected: Optional[Any] = None) -> dict:
+    """Load a `.pth` release checkpoint and convert it (torch CPU)."""
+    import torch
+
+    data = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(data, dict) and "model" in data and isinstance(
+            data["model"], dict):
+        data = data["model"]  # tools/train_net.py:115-117
+    return convert_torch_checkpoint(data, expected)
+
+
+# ---------------------------------------------------------------------------
+# orbax snapshots (native checkpointing)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(directory: str | os.PathLike, step: int, state: Any,
+                    keep: int = 16) -> str:
+    """Snapshot a TrainState pytree with orbax.
+
+    Unlike the reference's per-epoch torch.save of bare weights
+    (tools/train_net.py:153-160), this persists optimizer state and
+    batch stats, so --startepoch resume is exact.
+    """
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    with ocp.CheckpointManager(
+            directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=keep)) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(_arrays_only(state)))
+        mgr.wait_until_finished()
+    return os.path.join(directory, str(step))
+
+
+def restore_checkpoint(directory: str | os.PathLike,
+                       step: Optional[int] = None,
+                       target: Optional[Any] = None) -> Any:
+    """Restore the latest (or given) step; `target` provides the tree
+    structure/shardings (a template TrainState)."""
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    with ocp.CheckpointManager(directory) as mgr:
+        step = step if step is not None else mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {directory}")
+        if target is not None:
+            restored = mgr.restore(
+                step,
+                args=ocp.args.StandardRestore(_arrays_only(target)))
+        else:
+            restored = mgr.restore(step)
+    return restored, step
+
+
+def _arrays_only(state: Any) -> Any:
+    """Project a TrainState-like object to its checkpointable pytree."""
+    if hasattr(state, "params"):
+        return {"step": state.step, "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state}
+    return state
