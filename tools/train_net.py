@@ -26,6 +26,9 @@ def parse_args():
     parser.add_argument("--pretrained", type=str, default=None,
                         help="initialize with pretrained checkpoint "
                              "(.pth or orbax dir)")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="orbax dir: restore the FULL train state "
+                             "(params + optimizer + step) for exact resume")
     parser.add_argument("--cfg", dest="cfg_file", type=str, default=None)
     parser.add_argument("--solver", type=str, default="sgd",
                         choices=("adam", "sgd"))
@@ -90,6 +93,21 @@ def main():
         cfg, network_name=args.network_name, solver=args.solver,
         steps_per_epoch=len(loader), start_epoch=args.startepoch,
         height=sample_hw[0], width=sample_hw[1], variables=variables)
+    if args.resume:
+        # exact resume: params + batch stats + optimizer state + step
+        # (the reference can only restart from bare weights, SURVEY.md §5)
+        from unseenobjectclustering_tpu.utils.checkpoint import (
+            restore_checkpoint)
+        restored, ck_step = restore_checkpoint(
+            args.resume, target={"step": state.step, "params": state.params,
+                                 "batch_stats": state.batch_stats,
+                                 "opt_state": state.opt_state})
+        state = state.replace(step=restored["step"],
+                              params=restored["params"],
+                              batch_stats=restored["batch_stats"],
+                              opt_state=restored["opt_state"])
+        args.startepoch = max(args.startepoch, int(ck_step))
+        print(f"=> resumed full train state at epoch {ck_step}")
     state = replicate(state, mesh)
 
     print(f"=> training on {n_dev} device(s): {mesh}")

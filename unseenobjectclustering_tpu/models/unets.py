@@ -178,8 +178,10 @@ class VGGEmbedding(nn.Module):
         for i, v in enumerate(arch):
             last = i == len(arch) - 1
             if isinstance(v, str) and v[0] == "d":
+                # 'SAME' here == torch ConvTranspose2d(k=4, s=2, p=1):
+                # exact 2x upsample (flax pads the *output*, not the input)
                 x = nn.ConvTranspose(int(v[1:]), (4, 4), strides=(2, 2),
-                                     padding=((1, 1), (1, 1)),
+                                     padding="SAME",
                                      dtype=self.dtype,
                                      param_dtype=jnp.float32,
                                      name=f"dec_tconv{idx}")(x)
