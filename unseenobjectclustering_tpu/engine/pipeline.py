@@ -39,7 +39,7 @@ from unseenobjectclustering_tpu.config import Config
 from unseenobjectclustering_tpu.models import get_network
 from unseenobjectclustering_tpu.ops.mean_shift import mean_shift_smart_init
 from unseenobjectclustering_tpu.ops.roi import (crop_rois, filter_labels_depth,
-                                                match_label_crop)
+                                                paste_back, veto_and_order)
 
 
 class SegmentationResult(NamedTuple):
@@ -135,7 +135,8 @@ class Segmentor:
             self._stage1_impl,
             threshold=(-1.0 if depth_threshold is None
                        else float(depth_threshold))))
-        self._stage2 = jax.jit(self._stage2_impl)
+        self._stage2 = jax.jit(self._stage2_impl,
+                               static_argnames=("has_depth",))
 
     # -- compiled graphs -----------------------------------------------------
 
@@ -152,10 +153,14 @@ class Segmentor:
             )(labels, xyz)
         return features, labels
 
-    def _stage2_impl(self, variables_crop, img, labels, xyz, key):
-        """Per image: RoI crops -> zoom-in forward -> per-crop clustering.
+    def _stage2_impl(self, variables_crop, img, labels, xyz, key,
+                     *, has_depth: bool):
+        """Per image: RoI crops -> zoom-in forward -> per-crop clustering ->
+        on-device veto + paste ordering.
 
-        img/xyz: [H, W, 3]; labels: [H, W].
+        img/xyz: [H, W, 3]; labels: [H, W].  Returns only the small arrays
+        the host paste-back needs (int8 label crops, order keys, rois,
+        valid) — the full float crop stack never leaves the device.
         """
         crops = crop_rois(img, labels, xyz,
                           max_instances=self.max_instances,
@@ -167,7 +172,17 @@ class Segmentor:
                                       train=False)
         keys = jax.random.split(key, self.max_instances)
         labels_crop = _cluster_crops(feats, crops.valid, keys, **self._ms_kw)
-        return crops, labels_crop
+        labels_veto, order_key = veto_and_order(
+            labels_crop, crops.mask_crops,
+            crops.depth_crops[..., 2] if has_depth else None, crops.valid,
+            max_labels=max(int(self._ms_kw["num_seeds"]) + 1, 2))
+        if not has_depth:
+            # RoI-area ordering (test_dataset.py:138-145)
+            x0, y0, x1, y1 = (crops.rois[:, 0], crops.rois[:, 1],
+                              crops.rois[:, 2], crops.rois[:, 3])
+            area = ((y1 - y0 + 1) * (x1 - x0 + 1)).astype(jnp.float32)
+            order_key = jnp.where(crops.valid, area, -jnp.inf)
+        return labels_veto, order_key, crops.rois, crops.valid
 
     # -- public API -----------------------------------------------------------
 
@@ -203,19 +218,19 @@ class Segmentor:
             t1 = time.perf_counter()
             b = labels.shape[0]
             refined = []
+            labels_np = np.asarray(labels)
             for i in range(b):
                 img_i = img_d[i] if img_d is not None else jnp.zeros(
                     xyz_d[i].shape, jnp.float32)
                 xyz_i = (xyz_d[i] if xyz_d is not None
                          else jnp.zeros(img_d[i].shape, jnp.float32))
-                crops, labels_crop = self._stage2(
+                labels_veto, order_key, rois, valid = self._stage2(
                     self.variables_crop, img_i, labels[i], xyz_i,
-                    self.next_key())
-                ref, _ = match_label_crop(
-                    np.asarray(labels[i]), np.asarray(labels_crop),
-                    np.asarray(crops.mask_crops), np.asarray(crops.rois),
-                    np.asarray(crops.depth_crops) if xyz is not None else None,
-                    np.asarray(crops.valid))
+                    self.next_key(), has_depth=xyz is not None)
+                ref = paste_back(labels_np[i].astype(np.int32),
+                                 np.asarray(labels_veto),
+                                 np.asarray(order_key), np.asarray(rois),
+                                 np.asarray(valid))
                 refined.append(ref)
             labels_refined = np.stack(refined).astype(np.int32)
             timing["stage2"] = time.perf_counter() - t1

@@ -187,6 +187,88 @@ def crop_rois(rgb: jax.Array, labels: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# device-side veto + ordering (keeps the host fetch small)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_labels",))
+def veto_and_order(labels_crop: jax.Array, mask_crops: jax.Array,
+                   depth_z: Optional[jax.Array], valid: jax.Array,
+                   max_labels: int = 128) -> tuple[jax.Array, jax.Array]:
+    """On-device crop-cluster veto + paste ordering key.
+
+    Replicates the first two phases of match_label_crop
+    (test_dataset.py:116-148) inside the compiled stage-2 graph so the host
+    only fetches an int8 label image per crop instead of the full float crop
+    stack (the veto needs [M,S,S] float masks + depth — ~32 MB per frame
+    otherwise):
+
+      * clusters overlapping the stage-1 instance mask < 50% become -1,
+      * ordering key = mean valid depth over surviving pixels (crops with no
+        valid depth sort as +inf = farthest, pasted first).
+
+    Args:
+      labels_crop: [M, S, S] int32 per-crop cluster labels (>= 0).
+      mask_crops: [M, S, S] stage-1 instance mask resized into each crop.
+      depth_z: [M, S, S] z-channel of the crop point cloud, or None (then
+        the key is the RoI area, appended host-side).
+      valid: [M] bool.
+    Returns:
+      (labels_veto [M, S, S] int8 with -1 for vetoed, key [M] float32
+       where larger = pasted earlier = overwritten by later/closer crops).
+    """
+    m, s, _ = labels_crop.shape
+    lab = labels_crop.reshape(m, s * s)
+    msk = (mask_crops.reshape(m, s * s) > 0).astype(jnp.float32)
+    rows = jnp.arange(m)[:, None]
+
+    counts = jnp.zeros((m, max_labels), jnp.float32).at[rows, lab].add(1.0)
+    overlap = jnp.zeros((m, max_labels), jnp.float32).at[rows, lab].add(msk)
+    pct = overlap / jnp.maximum(counts, 1.0)
+    vetoed = pct < 0.5                      # [M, max_labels]
+    lab_veto = jnp.where(vetoed[rows, lab], -1, lab)
+
+    if depth_z is not None:
+        z = depth_z.reshape(m, s * s)
+        sel = lab_veto >= 0
+        any_sel = jnp.any(sel, axis=1, keepdims=True)
+        use = jnp.where(any_sel, sel, True)  # no survivors -> whole crop
+        ok = (z > 0) & use
+        cnt = jnp.sum(ok, axis=1)
+        avg = jnp.sum(jnp.where(ok, z, 0.0), axis=1) / jnp.maximum(cnt, 1)
+        key = jnp.where(cnt > 0, avg, jnp.inf)
+    else:
+        key = jnp.zeros((m,), jnp.float32)
+    key = jnp.where(valid, key, -jnp.inf)   # invalid crops sort last
+    return lab_veto.reshape(m, s, s).astype(jnp.int8), key
+
+
+def paste_back(initial_labels: np.ndarray, labels_veto: np.ndarray,
+               order_key: np.ndarray, rois: np.ndarray,
+               valid: np.ndarray) -> np.ndarray:
+    """Host-side final paste (test_dataset.py:150-179): order crops by key
+    descending (farther first), relabel surviving clusters sequentially,
+    nearest-resize each crop back into its RoI; later (closer) crops
+    overwrite."""
+    order = np.argsort(-order_key, kind="stable")
+    refined = np.zeros_like(initial_labels)
+    count = 0
+    for i in order:
+        if not valid[i]:
+            continue
+        ids = [m for m in np.unique(labels_veto[i]) if m != -1]
+        relabeled = np.zeros(labels_veto[i].shape, initial_labels.dtype)
+        for mask_id in ids:
+            count += 1
+            relabeled[labels_veto[i] == mask_id] = count
+        x0, y0, x1, y1 = (int(v) for v in rois[i])
+        resized = _nearest_resize_np(relabeled, (y1 - y0 + 1, x1 - x0 + 1))
+        region = refined[y0:y1 + 1, x0:x1 + 1]
+        nz = resized > 0
+        region[nz] = resized[nz]
+    return refined
+
+
+# ---------------------------------------------------------------------------
 # paste-back (host-side numpy: per-image, dynamic, order-dependent)
 # ---------------------------------------------------------------------------
 
