@@ -44,7 +44,18 @@ def _parse_header(f) -> dict:
 
 
 def lzf_decompress(data: bytes, expected_size: int) -> bytes:
-    """Pure-python LZF decompression (the PCL binary_compressed codec)."""
+    """LZF decompression (the PCL binary_compressed codec) — native C++ fast
+    path (native/ucio.cpp) with this pure-python fallback."""
+    from unseenobjectclustering_tpu.data import native
+
+    fast = native.lzf_decompress(data, expected_size)
+    if fast is not None:
+        return fast
+    return _lzf_decompress_py(data, expected_size)
+
+
+def _lzf_decompress_py(data: bytes, expected_size: int) -> bytes:
+    """Pure-python LZF decompression."""
     out = bytearray(expected_size)
     i, o, n = 0, 0, len(data)
     while i < n:
@@ -114,10 +125,18 @@ def load_pcd_xyz(path: str | os.PathLike) -> np.ndarray:
             return np.stack(cols, axis=1).astype(np.float32)
 
         if data_kind == "binary":
+            from unseenobjectclustering_tpu.data import native
+
             raw = f.read(point_size * points)
             out = np.empty((points, 3), np.float32)
             for j, name in enumerate(("x", "y", "z")):
                 off, sz, tc = field_slice(name)
+                if tc == "F" and sz == 4:
+                    col = native.extract_strided_f32(raw, points, point_size,
+                                                     off)
+                    if col is not None:
+                        out[:, j] = col
+                        continue
                 # strided view over the packed per-point records
                 arr = np.ndarray((points,), dtype=_numpy_dtype(tc, sz),
                                  buffer=raw, offset=off,

@@ -261,8 +261,14 @@ def paste_back(initial_labels: np.ndarray, labels_veto: np.ndarray,
             count += 1
             relabeled[labels_veto[i] == mask_id] = count
         x0, y0, x1, y1 = (int(v) for v in rois[i])
-        resized = _nearest_resize_np(relabeled, (y1 - y0 + 1, x1 - x0 + 1))
         region = refined[y0:y1 + 1, x0:x1 + 1]
+        # native fused resize+overwrite (native/ucio.cpp); numpy fallback
+        from unseenobjectclustering_tpu.data import native
+
+        if refined.dtype == np.int32 and native.nearest_paste_nonzero(
+                relabeled, region):
+            continue
+        resized = _nearest_resize_np(relabeled, (y1 - y0 + 1, x1 - x0 + 1))
         nz = resized > 0
         region[nz] = resized[nz]
     return refined
