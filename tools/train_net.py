@@ -43,6 +43,9 @@ def parse_args():
     parser.add_argument("--workers", type=int, default=4)
     parser.add_argument("--max_k", type=int, default=32,
                         help="static bound on GT instances per image")
+    parser.add_argument("--bf16", action="store_true",
+                        help="mixed precision: bf16 conv stack, fp32 "
+                             "params/optimizer/loss")
     if len(sys.argv) == 1:
         parser.print_help()
         sys.exit(1)
@@ -89,10 +92,12 @@ def main():
         else (480, 640)
     variables = load_network_variables(cfg, args.network_name,
                                        args.pretrained, *sample_hw)
+    import jax.numpy as jnp
     state = create_train_state(
         cfg, network_name=args.network_name, solver=args.solver,
         steps_per_epoch=len(loader), start_epoch=args.startepoch,
-        height=sample_hw[0], width=sample_hw[1], variables=variables)
+        height=sample_hw[0], width=sample_hw[1], variables=variables,
+        model_dtype=jnp.bfloat16 if args.bf16 else None)
     if args.resume:
         # exact resume: params + batch stats + optimizer state + step
         # (the reference can only restart from bare weights, SURVEY.md §5)

@@ -140,11 +140,10 @@ class Segmentor:
 
     # -- compiled graphs -----------------------------------------------------
 
-    def _stage1_impl(self, variables, img, xyz, key, *, threshold: float):
-        """img/xyz: [B, H, W, 3] -> (features [B,H,W,C], labels [B,H,W])."""
-        b = (img if img is not None else xyz).shape[0]
+    def _stage1_impl(self, variables, img, xyz, keys, *, threshold: float):
+        """img/xyz: [B, H, W, 3], keys: [B] -> (features [B,H,W,C],
+        labels [B,H,W])."""
         features = self.model.apply(variables, img, xyz, train=False)
-        keys = jax.random.split(key, b)
         labels = _cluster_batch(features, keys, **self._ms_kw)
         if xyz is not None and threshold > 0:
             labels = jax.vmap(
@@ -152,6 +151,52 @@ class Segmentor:
                     l, d, threshold, max_labels=self.max_instances + 1)
             )(labels, xyz)
         return features, labels
+
+    def make_sharded_stage1(self, mesh, axis_name: str = "data"):
+        """Data-parallel stage-1 over a device Mesh: each device runs the
+        identical per-image program on its batch shard (shard_map; no
+        cross-device communication — eval BatchNorm is elementwise).
+
+        Returns fn(variables, img [B,...], xyz [B,...], keys [B]) with B
+        divisible by the mesh size; numerics match the unsharded path.
+        """
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map  # jax >= 0.4.35
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+
+        threshold = (-1.0 if self.depth_threshold is None
+                     else float(self.depth_threshold))
+        local = functools.partial(self._stage1_impl, threshold=threshold)
+        specs = dict(
+            in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
+            out_specs=(P(axis_name), P(axis_name)))
+        try:
+            # varying-manual-axes checking rejects plain-constant loop
+            # carries inside the clustering fori_loops; disable it
+            sharded = shard_map(local, mesh=mesh, check_vma=False, **specs)
+        except TypeError:  # older jax spells it check_rep
+            sharded = shard_map(local, mesh=mesh, check_rep=False, **specs)
+        return jax.jit(sharded)
+
+    def segment_sharded(self, mesh, image: Optional[np.ndarray],
+                        xyz: Optional[np.ndarray]) -> np.ndarray:
+        """Stage-1 labels for a batch sharded across `mesh` (throughput-
+        oriented dataset evaluation; BASELINE.json 'batched on-device
+        inference' config).  Returns [B, H, W] int32."""
+        if not hasattr(self, "_sharded_stage1_cache"):
+            self._sharded_stage1_cache = {}
+        key = id(mesh)
+        if key not in self._sharded_stage1_cache:
+            self._sharded_stage1_cache[key] = self.make_sharded_stage1(mesh)
+        fn = self._sharded_stage1_cache[key]
+        b = (image if image is not None else xyz).shape[0]
+        keys = jax.random.split(self.next_key(), b)
+        _, labels = fn(self.variables,
+                       jnp.asarray(image) if image is not None else None,
+                       jnp.asarray(xyz) if xyz is not None else None, keys)
+        return np.asarray(labels, dtype=np.int32)
 
     def _stage2_impl(self, variables_crop, img, labels, xyz, key,
                      *, has_depth: bool):
@@ -208,8 +253,9 @@ class Segmentor:
         img_d = jnp.asarray(image) if image is not None else None
         xyz_d = jnp.asarray(xyz) if xyz is not None else None
 
+        b = (img_d if img_d is not None else xyz_d).shape[0]
         features, labels = self._stage1(self.variables, img_d, xyz_d,
-                                        self.next_key())
+                                        jax.random.split(self.next_key(), b))
         labels.block_until_ready()
         timing["stage1"] = time.perf_counter() - t0
 

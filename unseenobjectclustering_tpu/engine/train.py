@@ -101,9 +101,14 @@ def create_train_state(cfg: Config, *, network_name: str,
                        solver: str = "adam", steps_per_epoch: int = 1,
                        start_epoch: int = 0, height: int = 480,
                        width: int = 640, seed: int = 3,
-                       variables: Optional[Any] = None) -> TrainState:
-    """Initialize (or adopt pretrained) variables and wrap them in a state."""
-    model = get_network(network_name, cfg)
+                       variables: Optional[Any] = None,
+                       model_dtype: Any = None) -> TrainState:
+    """Initialize (or adopt pretrained) variables and wrap them in a state.
+
+    model_dtype=jnp.bfloat16 runs the conv stack in bf16 (params, optimizer
+    state, loss, and the final normalize stay float32 — mixed precision).
+    """
+    model = get_network(network_name, cfg, dtype=model_dtype)
     if variables is None:
         key = jax.random.PRNGKey(seed)
         img = (jnp.zeros((1, height, width, 3), jnp.float32)

@@ -93,15 +93,19 @@ def embedding_loss(x: jax.Array, labels: jax.Array, *, alpha: float,
     means, _ = compute_cluster_means(xf, lab, max_k, normalize)  # [B,K,C]
 
     # --- intra loss ---------------------------------------------------------
+    # All per-pixel gathers are phrased as one-hot matmuls: gathers lower to
+    # scatter-adds in the backward pass (~1s/step on [16, 50k] at 224^2),
+    # while these einsums run forward AND backward on the MXU.
     labeled = (lab >= 0).astype(jnp.float32)  # [B,H,W]
-    lab_safe = jnp.clip(lab, 0, max_k - 1)
-    # gather cluster mean for each pixel: [B, HW, C]
-    mean_per_pixel = jnp.take_along_axis(
-        means, lab_safe.reshape(b, h * w, 1).repeat(c, axis=2), axis=1)
+    # one_hot of -1 is all-zeros, so unlabeled pixels drop out naturally
+    onehot = jax.nn.one_hot(lab.reshape(b, h * w), max_k, dtype=jnp.float32)
+    # cluster mean per pixel: [B, HW, C] on the MXU
+    mean_per_pixel = jnp.einsum("bpk,bkc->bpc", onehot, means)
     mean_per_pixel = mean_per_pixel.reshape(b, h, w, c)
 
     if metric == "cosine":
-        d_intra = labeled * (0.5 * (1.0 - jnp.sum(xf * mean_per_pixel, axis=-1)))
+        d_intra = labeled * (0.5 * (1.0 - jnp.sum(xf * mean_per_pixel,
+                                                  axis=-1)))
     else:  # euclidean
         d_intra = labeled * _safe_norm(xf - mean_per_pixel, axis=-1)
 
@@ -110,10 +114,9 @@ def embedding_loss(x: jax.Array, labels: jax.Array, *, alpha: float,
 
     # N_k = #pixels of cluster k with distance > alpha, per sample
     over = (d_intra > alpha).astype(jnp.float32) * labeled  # [B,H,W]
-    onehot = jax.nn.one_hot(lab.reshape(b, h * w), max_k, dtype=jnp.float32)
     n_k = jnp.einsum("bpk,bp->bk", onehot, over.reshape(b, h * w))  # [B,K]
     # per-pixel weight = N_{k(pixel)} (0 for unlabeled), then max(.,50) * K
-    w_pix = jnp.take_along_axis(n_k, lab_safe.reshape(b, h * w), axis=1)
+    w_pix = jnp.einsum("bpk,bk->bp", onehot, n_k)
     w_pix = w_pix * (labeled.reshape(b, h * w))
     w_pix = jnp.maximum(w_pix, 50.0) * k_f
     intra_sum = jnp.sum((d_intra.reshape(b, h * w) ** 2) / w_pix) / b

@@ -55,6 +55,42 @@ def filter_labels_depth(labels: jax.Array, xyz: jax.Array, threshold: float,
     return jnp.where(keep[lab], lab, 0)
 
 
+@functools.partial(jax.jit, static_argnames=("max_labels",))
+def filter_labels_boxes(labels: jax.Array, boxes: jax.Array,
+                        threshold: float = 0.8,
+                        max_labels: int = 128) -> jax.Array:
+    """Zero out instances lying mostly INSIDE the given boxes
+    (filter_labels, test_dataset.py:205-228 — used to suppress detections
+    overlapping known-object boxes in the ROS pipeline).
+
+    Args:
+      labels: [H, W] int32 instance labels (0 = background).
+      boxes: [K, 4] (x1, y1, x2, y2) float/int boxes; rows of zeros are
+        ignored naturally (empty boxes cover nothing).
+      threshold: remove an instance when > threshold of its pixels fall in
+        the box union.
+    """
+    h, w = labels.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    x1 = jnp.clip(boxes[:, 0].astype(jnp.int32), 0, w - 1)
+    y1 = jnp.clip(boxes[:, 1].astype(jnp.int32), 0, h - 1)
+    x2 = jnp.clip(boxes[:, 2].astype(jnp.int32), 0, w - 1)
+    y2 = jnp.clip(boxes[:, 3].astype(jnp.int32), 0, h - 1)
+    inside = ((xs[None] >= x1[:, None, None]) & (xs[None] < x2[:, None, None])
+              & (ys[None] >= y1[:, None, None])
+              & (ys[None] < y2[:, None, None]))
+    bbox_mask = jnp.any(inside, axis=0).astype(jnp.float32)
+
+    lab = labels.astype(jnp.int32)
+    onehot = jax.nn.one_hot(lab.reshape(-1), max_labels, dtype=jnp.float32)
+    counts = jnp.sum(onehot, axis=0)
+    covered = onehot.T @ bbox_mask.reshape(-1)
+    frac = covered / jnp.maximum(counts, 1.0)
+    drop = (frac > threshold) & (jnp.arange(max_labels) != 0)
+    return jnp.where(drop[lab], 0, lab)
+
+
 # ---------------------------------------------------------------------------
 # RoI extraction
 # ---------------------------------------------------------------------------
