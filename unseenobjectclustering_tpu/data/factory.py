@@ -21,6 +21,18 @@ _register("osd_object_test", OSDObject, "test")
 _register("ocid_object_test", OCIDObject, "test")
 
 
+def _register_synthetic():
+    from unseenobjectclustering_tpu.data.synthetic import (
+        SyntheticTabletopDataset)
+
+    for split in ("train", "test"):
+        _register(f"synthetic_tabletop_{split}", SyntheticTabletopDataset,
+                  split)
+
+
+_register_synthetic()
+
+
 def get_dataset(name: str, cfg: Config, path: Optional[str] = None):
     """Build a dataset by its reference-compatible registry name."""
     if name not in DATASETS:
