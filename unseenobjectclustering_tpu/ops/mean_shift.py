@@ -116,9 +116,10 @@ def hill_climb_xla(x: jax.Array, z: jax.Array, kappa: float, max_iters: int,
         return z_new / jnp.maximum(norm, 1e-12)
 
     def euclidean_step(_, z):
-        diff = z[:, None, :] - xf[None, :, :]
-        dist = jnp.linalg.norm(diff, axis=2)
-        w = jnp.exp(-kappa * dist ** 2)
+        # |z - x|^2 = |z|^2 + |x|^2 - 2 z.x  (never materialize [m, n, d])
+        sq = (jnp.sum(z * z, axis=1, keepdims=True)
+              + jnp.sum(xf * xf, axis=1)[None, :] - 2.0 * (z @ xf.T))
+        w = jnp.exp(-kappa * jnp.maximum(sq, 0.0))
         z_new = w @ xf
         denom = jnp.clip(jnp.sum(w, axis=1, keepdims=True), min=1.0)
         return z_new / denom
@@ -182,8 +183,11 @@ def assign_and_swap_background(x: jax.Array, seeds: jax.Array,
             preferred_element_type=jnp.float32)
         dist = 0.5 * (1.0 - sim)  # [n, m]
     else:
-        dist = jnp.linalg.norm(
-            x[:, None, :].astype(jnp.float32) - seeds[None, :, :], axis=2)
+        xf32 = x.astype(jnp.float32)
+        sq = (jnp.sum(xf32 * xf32, axis=1, keepdims=True)
+              + jnp.sum(seeds * seeds, axis=1)[None, :]
+              - 2.0 * (xf32 @ seeds.T))
+        dist = jnp.sqrt(jnp.maximum(sq, 0.0))  # [n, m]
     closest = jnp.argmin(dist, axis=1)
     labels = seed_labels[closest].astype(jnp.int32)
 
