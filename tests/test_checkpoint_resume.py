@@ -1,0 +1,68 @@
+"""Exact-resume: snapshot mid-training, restore, and continue — parameters
+must match an uninterrupted run bit-for-bit (optimizer state included;
+the reference can only restart from bare weights, SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unseenobjectclustering_tpu.config import Config
+from unseenobjectclustering_tpu.engine.train import (create_train_state,
+                                                     make_train_step)
+from unseenobjectclustering_tpu.utils.checkpoint import (restore_checkpoint,
+                                                         save_checkpoint)
+
+
+def small_cfg():
+    return Config.from_dict({
+        "INPUT": "RGBD",
+        "TRAIN": {"NUM_UNITS": 4, "LEARNING_RATE": 1e-3,
+                  "WEIGHT_DECAY": 1e-4},
+    })
+
+
+def _batch(seed, b=2, h=32, w=32):
+    rng = np.random.RandomState(seed)
+    return (rng.rand(b, h, w, 3).astype(np.float32),
+            rng.rand(b, h, w, 3).astype(np.float32),
+            rng.randint(0, 3, size=(b, h, w)).astype(np.int32))
+
+
+def test_exact_resume(tmp_path):
+    cfg = small_cfg()
+    step = make_train_step(cfg, max_k=8)
+
+    # uninterrupted: 4 steps
+    state = create_train_state(cfg, network_name="seg_resnet34_8s_embedding",
+                               height=32, width=32)
+    for i in range(4):
+        state, _ = step(state, *_batch(i))
+    want = jax.tree_util.tree_leaves(state.params)
+
+    # interrupted: 2 steps, snapshot, restore into a FRESH state, 2 more
+    state2 = create_train_state(cfg, network_name="seg_resnet34_8s_embedding",
+                                height=32, width=32)
+    for i in range(2):
+        state2, _ = step(state2, *_batch(i))
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, 1, state2)
+
+    fresh = create_train_state(cfg, network_name="seg_resnet34_8s_embedding",
+                               height=32, width=32, seed=99)  # different init
+    restored, ck = restore_checkpoint(
+        ckpt_dir, target={"step": fresh.step, "params": fresh.params,
+                          "batch_stats": fresh.batch_stats,
+                          "opt_state": fresh.opt_state})
+    assert ck == 1
+    state3 = fresh.replace(step=restored["step"], params=restored["params"],
+                           batch_stats=restored["batch_stats"],
+                           opt_state=restored["opt_state"])
+    for i in range(2, 4):
+        state3, _ = step(state3, *_batch(i))
+
+    got = jax.tree_util.tree_leaves(state3.params)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(state3.step) == 4
