@@ -80,7 +80,7 @@ def build_pipeline(fast: bool):
                 epsilon=epsilon, metric="cosine", use_pallas=on_tpu,
                 seed_subsample=seed_subsample, compute_dtype=compute_dtype)
             labels = filter_labels_depth(res.labels.reshape(H, W), xyz, 0.8,
-                                         max_labels=33)
+                                         max_labels=num_seeds + 1)
             return labels, ()
 
         labels, _ = jax.lax.scan(body, jnp.zeros((H, W), jnp.int32), keys)

@@ -146,9 +146,12 @@ class Segmentor:
         features = self.model.apply(variables, img, xyz, train=False)
         labels = _cluster_batch(features, keys, **self._ms_kw)
         if xyz is not None and threshold > 0:
+            # labels range over cluster ids, bounded by the seed count
+            # (NOT by MAX_INSTANCES, which only pads the zoom-in stage)
+            max_labels = int(self._ms_kw["num_seeds"]) + 1
             labels = jax.vmap(
                 lambda l, d: filter_labels_depth(
-                    l, d, threshold, max_labels=self.max_instances + 1)
+                    l, d, threshold, max_labels=max_labels)
             )(labels, xyz)
         return features, labels
 
