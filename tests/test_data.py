@@ -252,3 +252,46 @@ def test_perturb_mask():
                                     np.random.RandomState(4))
     assert out.shape == mask.shape
     assert out.sum() >= 2  # never returns an empty mask
+
+
+def make_ocid_tree(root, n=2):
+    """OCID-style tree: ARID20/<x>/seq01/{rgb,label,pcd}/...; includes a
+    'table' sequence to exercise the label-2 remap."""
+    rng = np.random.RandomState(4)
+    for seq, is_table in (("ARID20/floor/seq01", False),
+                          ("ARID20/table/seq02", True)):
+        for sub in ("rgb", "label", "pcd"):
+            os.makedirs(os.path.join(root, seq, sub), exist_ok=True)
+        for i in range(n):
+            name = f"result_{i}.png"
+            im = rng.randint(0, 255, (480, 640, 3), dtype=np.uint8)
+            cv2.imwrite(os.path.join(root, seq, "rgb", name), im)
+            lab = np.zeros((480, 640), np.uint8)
+            lab[50:100, 50:100] = 1      # table plane -> bg
+            lab[150:250, 150:300] = 2    # table seqs: also bg
+            lab[300:400, 400:500] = 3    # object
+            imwrite_indexed(os.path.join(root, seq, "label", name), lab)
+            xyz = rng.rand(480, 640, 3).astype(np.float32)
+            xyz[0, 0] = np.nan  # pcl NaN handling
+            save_pcd_xyz(os.path.join(root, seq, "pcd",
+                                      name.replace("png", "pcd")), xyz)
+    return root
+
+
+def test_ocid_dataset(tmp_path):
+    root = make_ocid_tree(str(tmp_path / "OCID"))
+    cfg = Config.from_dict({"MODE": "TEST", "INPUT": "RGBD"})
+    ds = get_dataset("ocid_object_test", cfg, path=root)
+    assert len(ds) == 4
+    # non-table sequence: labels 2 and 3 remain objects (remapped 1, 2)
+    floor_idx = [i for i in range(4)
+                 if "floor" in str(ds.image_paths[i])][0]
+    s = ds[floor_idx]
+    assert s["label"].max() == 2
+    assert not np.isnan(s["depth"]).any()  # NaNs zeroed
+    # table sequence: label 2 also becomes background -> one object
+    table_idx = [i for i in range(4)
+                 if "table" in str(ds.image_paths[i])][0]
+    s = ds[table_idx]
+    assert s["label"].max() == 1
+    assert s["filename"].startswith("ARID20")
