@@ -295,3 +295,20 @@ def test_ocid_dataset(tmp_path):
     s = ds[table_idx]
     assert s["label"].max() == 1
     assert s["filename"].startswith("ARID20")
+
+
+def test_epoch_advances_augmentation(tmp_path):
+    """Per-epoch RNG: the same index yields different augmentation draws
+    across epochs (reference parity — ambient np.random redraws), while
+    direct indexing (eval) stays deterministic at epoch 0."""
+    root = make_tod_tree(str(tmp_path / "tod"), n_scenes=1, views=7)
+    cfg = Config.from_dict({"MODE": "TRAIN", "INPUT": "RGBD",
+                            "TRAIN": {"CHROMATIC": True, "ADD_NOISE": True}})
+    ds = get_dataset("tabletop_object_train", cfg, path=root)
+    a = ds[0]["image_color"]
+    ds.set_epoch(1)
+    b = ds[0]["image_color"]
+    assert not np.array_equal(a, b)
+    ds.set_epoch(0)
+    c = ds[0]["image_color"]
+    np.testing.assert_array_equal(a, c)

@@ -71,6 +71,7 @@ class _DatasetBase:
         self.cfg = cfg
         self.base_seed = base_seed
         self.pixel_mean = cfg.pixel_means.astype(np.float32) / 255.0
+        self._epoch = 0
 
     @property
     def name(self) -> str:
@@ -80,9 +81,16 @@ class _DatasetBase:
     def num_classes(self) -> int:
         return len(self._classes)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the per-epoch augmentation stream (the reference redraws
+        augmentations every epoch via ambient np.random; here the draw is a
+        deterministic function of (epoch, index))."""
+        self._epoch = int(epoch)
+
     def _rng(self, idx: int) -> np.random.RandomState:
         return np.random.RandomState(
-            (self.base_seed * 1_000_003 + idx) % (2 ** 31 - 1))
+            (self.base_seed * 1_000_003 + idx
+             + self._epoch * 977_482_177) % (2 ** 31 - 1))
 
     def _normalize_bgr(self, im_bgr_u8: np.ndarray) -> np.ndarray:
         return im_bgr_u8.astype(np.float32) / 255.0 - self.pixel_mean

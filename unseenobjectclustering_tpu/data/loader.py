@@ -74,6 +74,8 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[dict]:
         batches = self._index_batches()
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self.epoch)  # fresh augmentation draws
         self.epoch += 1
         if self.num_workers <= 0:
             for b in batches:
