@@ -56,3 +56,17 @@ def test_train_test_splits_differ():
     tr = get_dataset("synthetic_tabletop_train", small_cfg())
     te = get_dataset("synthetic_tabletop_test", small_cfg())
     assert not np.array_equal(tr[0]["label"], te[0]["label"])
+
+
+def test_syn_crop_mode():
+    cfg = Config.from_dict({
+        "MODE": "TRAIN", "INPUT": "RGBD",
+        "TRAIN": {"SYN_WIDTH": 96, "SYN_HEIGHT": 64, "SYNNUM": 10,
+                  "SYN_MIN_OBJECT": 3, "SYN_MAX_OBJECT": 5,
+                  "SYN_CROP": True, "SYN_CROP_SIZE": 48}})
+    from unseenobjectclustering_tpu.data import get_dataset
+    ds = get_dataset("synthetic_tabletop_train", cfg)
+    s = ds[0]
+    assert s["image_color"].shape == (48, 48, 3)
+    assert s["depth"].shape == (48, 48, 3)
+    assert s["label"].shape == (48, 48)
