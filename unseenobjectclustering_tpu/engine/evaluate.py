@@ -56,6 +56,60 @@ def print_metric_table(result: dict, header: str = "") -> None:
     print("========================================================")
 
 
+def evaluate_dataset_sharded(dataset, segmentor: Segmentor, mesh,
+                             batch_size: Optional[int] = None,
+                             max_images: Optional[int] = None,
+                             num_workers: int = 4,
+                             verbose: bool = True) -> dict:
+    """Throughput-oriented stage-1 evaluation: batches sharded across a
+    device mesh (BASELINE.json's 'OCID batched on-device inference' config).
+
+    Returns the averaged stage-1 metric dict (no zoom-in refinement — use
+    evaluate_dataset for the full two-stage path).
+    """
+    from unseenobjectclustering_tpu.data.loader import DataLoader
+
+    n_dev = len(mesh.devices.ravel())
+    batch_size = batch_size or n_dev
+    if batch_size % n_dev:
+        raise ValueError(f"batch_size {batch_size} not divisible by "
+                         f"mesh size {n_dev}")
+    n = len(dataset) if max_images is None else min(len(dataset), max_images)
+
+    class _View:
+        def __len__(self):
+            return n
+
+        def __getitem__(self, i):
+            return dataset[i]
+
+    loader = DataLoader(_View(), batch_size=batch_size, shuffle=False,
+                        num_workers=num_workers, drop_last=False)
+    metrics_all: list[dict] = []
+    t0 = time.time()
+    done = 0
+    for batch in loader:
+        img = batch.get("image_color")
+        xyz = batch.get("depth")
+        gt = batch["label"]
+        b = gt.shape[0]
+        if b % n_dev:  # pad the trailing batch to a mesh multiple
+            pad = n_dev - b % n_dev
+            rep = lambda a: (np.concatenate([a] + [a[-1:]] * pad)
+                             if a is not None else None)
+            img, xyz = rep(img), rep(xyz)
+        labels = segmentor.segment_sharded(mesh, img, xyz)
+        for i in range(b):
+            metrics_all.append(multilabel_metrics(labels[i], gt[i]))
+        done += b
+        if verbose:
+            print(f"[{done}/{n}] {done / (time.time() - t0):.2f} img/s")
+    result = average_metrics(metrics_all)
+    if verbose:
+        print_metric_table(result, f"{n} images (sharded stage-1)")
+    return result
+
+
 def evaluate_dataset(dataset, segmentor: Segmentor,
                      output_dir: Optional[str] = None,
                      refine: bool = True,
