@@ -100,8 +100,10 @@ def nearest_paste_nonzero(src: np.ndarray, dst_region: np.ndarray) -> bool:
     if lib is None:
         return False
     src = np.ascontiguousarray(src, np.int32)
-    assert dst_region.dtype == np.int32
-    assert dst_region.strides[1] == 4, "dst rows must be contiguous"
+    if (dst_region.dtype != np.int32 or dst_region.ndim != 2
+            or dst_region.size == 0 or dst_region.strides[1] != 4
+            or src.size == 0):
+        return False  # numpy fallback handles unusual views / empty regions
     lib.ucio_nearest_paste_nonzero(
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         src.shape[0], src.shape[1],
