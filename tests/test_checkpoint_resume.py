@@ -23,7 +23,7 @@ def small_cfg():
     })
 
 
-def _batch(seed, b=2, h=32, w=32):
+def _batch(seed, b=1, h=16, w=16):
     rng = np.random.RandomState(seed)
     return (rng.rand(b, h, w, 3).astype(np.float32),
             rng.rand(b, h, w, 3).astype(np.float32),
@@ -36,21 +36,21 @@ def test_exact_resume(tmp_path):
 
     # uninterrupted: 4 steps
     state = create_train_state(cfg, network_name="seg_resnet34_8s_embedding",
-                               height=32, width=32)
+                               height=16, width=16)
     for i in range(4):
         state, _ = step(state, *_batch(i))
     want = jax.tree_util.tree_leaves(state.params)
 
     # interrupted: 2 steps, snapshot, restore into a FRESH state, 2 more
     state2 = create_train_state(cfg, network_name="seg_resnet34_8s_embedding",
-                                height=32, width=32)
+                                height=16, width=16)
     for i in range(2):
         state2, _ = step(state2, *_batch(i))
     ckpt_dir = str(tmp_path / "ckpt")
     save_checkpoint(ckpt_dir, 1, state2)
 
     fresh = create_train_state(cfg, network_name="seg_resnet34_8s_embedding",
-                               height=32, width=32, seed=99)  # different init
+                               height=16, width=16, seed=99)  # different init
     restored, ck = restore_checkpoint(
         ckpt_dir, target={"step": fresh.step, "params": fresh.params,
                           "batch_stats": fresh.batch_stats,

@@ -46,10 +46,18 @@ def filter_labels_depth(labels: jax.Array, xyz: jax.Array, threshold: float,
       threshold: keep fraction (0.5 OCID / 0.8 OSD & demo).
     """
     lab = labels.astype(jnp.int32)
-    z_valid = (xyz[..., 2] > 0).astype(jnp.float32)
-    onehot = jax.nn.one_hot(lab.reshape(-1), max_labels, dtype=jnp.float32)
-    counts = jnp.sum(onehot, axis=0)                      # pixels per label
-    valid = onehot.T @ z_valid.reshape(-1)                # valid-z per label
+    z_valid = (xyz[..., 2] > 0)
+    # per-label histograms as one bf16 one-hot matmul on the MXU, fp32
+    # accumulation ([count, valid] in a single [n, 2] rhs; scatter-adds
+    # measured ~3x slower here, fp32 one-hot ~2x more HBM)
+    onehot = jax.nn.one_hot(lab.reshape(-1), max_labels, dtype=jnp.bfloat16)
+    rhs = jnp.stack(
+        [jnp.ones(lab.size, jnp.bfloat16),
+         z_valid.reshape(-1).astype(jnp.bfloat16)], axis=1)
+    sums = jax.lax.dot_general(onehot, rhs,
+                               dimension_numbers=(((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    counts, valid = sums[:, 0], sums[:, 1]
     frac = valid / jnp.maximum(counts, 1.0)
     keep = (frac >= threshold) | (jnp.arange(max_labels) == 0)
     return jnp.where(keep[lab], lab, 0)
