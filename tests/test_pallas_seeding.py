@@ -1,0 +1,41 @@
+"""Fused seeding kernel vs the XLA farthest-point reference."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unseenobjectclustering_tpu.ops.mean_shift import select_smart_seeds
+from unseenobjectclustering_tpu.ops.pallas_seeding import select_seeds_pallas
+
+
+@pytest.mark.parametrize("n,d,m", [(500, 16, 10), (2000, 64, 32)])
+def test_pallas_seeding_matches_xla(n, d, m):
+    rng = np.random.RandomState(0)
+    x = rng.randn(n, d).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    first = jnp.int32(7)
+
+    want_seeds, want_idx = select_smart_seeds(
+        jnp.asarray(x), m, jax.random.PRNGKey(0), "cosine",
+        first_index=first)
+    got_seeds, got_idx = select_seeds_pallas(jnp.asarray(x), m, first)
+
+    np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(want_idx))
+    np.testing.assert_allclose(np.asarray(got_seeds),
+                               np.asarray(want_seeds), atol=1e-6)
+
+
+def test_pallas_seeding_covers_clusters():
+    """Seeds must land in every well-separated cluster."""
+    rng = np.random.RandomState(1)
+    centers = rng.randn(5, 32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.randint(0, 5, size=1000)
+    x = centers[assign] + 0.01 * rng.randn(1000, 32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    _, idx = select_seeds_pallas(jnp.asarray(x, jnp.float32), 16,
+                                 jnp.int32(0))
+    seeded_clusters = set(assign[np.asarray(idx)])
+    assert seeded_clusters == set(range(5))

@@ -223,8 +223,20 @@ def mean_shift_smart_init(x: jax.Array, key: jax.Array, *, kappa: float = 20.0,
         'bfloat16'); seed merging and normalization stay float32.
     """
     xc = x.astype(jnp.bfloat16) if compute_dtype == "bfloat16" else x
-    seeds, seed_indices = select_smart_seeds(xc, num_seeds, key, metric,
-                                             first_index, seed_subsample)
+    x_seed = xc[::seed_subsample] if seed_subsample > 1 else xc
+    vmem_bytes = x_seed.shape[0] * x_seed.shape[1] * x_seed.dtype.itemsize
+    if metric == "cosine" and use_pallas and vmem_bytes <= 8 * 2 ** 20:
+        # whole farthest-point loop fused in one kernel, X resident in VMEM
+        from unseenobjectclustering_tpu.ops.pallas_seeding import (
+            select_seeds_pallas)
+        if first_index is None:
+            first_index = jax.random.randint(key, (), 0, x_seed.shape[0])
+        seeds, seed_indices = select_seeds_pallas(
+            x_seed, num_seeds, first_index.astype(jnp.int32))
+        seed_indices = seed_indices * seed_subsample
+    else:
+        seeds, seed_indices = select_smart_seeds(xc, num_seeds, key, metric,
+                                                 first_index, seed_subsample)
     if metric == "cosine" and use_pallas:
         from unseenobjectclustering_tpu.ops.pallas_mean_shift import (
             hill_climb_pallas)
