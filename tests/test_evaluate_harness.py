@@ -70,3 +70,40 @@ def test_average_metrics():
     out = average_metrics([{"a": 1.0, "b": 0.0}, {"a": 0.0, "b": 1.0}])
     assert out == {"a": 0.5, "b": 0.5}
     assert average_metrics([]) == {}
+
+
+def test_segment_sample_dict_api():
+    """test_sample-shaped dict API (reference lib/fcn/test_dataset.py:232)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unseenobjectclustering_tpu.config import Config
+    from unseenobjectclustering_tpu.engine.pipeline import Segmentor
+    from unseenobjectclustering_tpu.models import get_network
+
+    cfg = Config.from_dict({
+        "INPUT": "RGBD", "TRAIN": {"NUM_UNITS": 4},
+        "CLUSTER": {"NUM_SEEDS": 8, "MAX_INSTANCES": 4,
+                    "USE_PALLAS": False}})
+    model = get_network("seg_resnet34_8s_embedding", cfg, num_units=4)
+    z = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), z, z, train=False)
+    seg = Segmentor(cfg, variables, depth_threshold=None)
+
+    rng = np.random.RandomState(0)
+    sample = {"image_color": rng.rand(32, 32, 3).astype(np.float32),
+              "depth": rng.rand(32, 32, 3).astype(np.float32)}
+    res = seg.segment_sample(sample, refine=False)
+    assert res.labels.shape == (1, 32, 32)
+
+
+def test_visualize_flag_saves_grids(tmp_path):
+    ds = StubDataset(n=2)
+    seg = StubSegmentor(ds)
+    # give the stub a cfg with VISUALIZE on
+    from unseenobjectclustering_tpu.config import Config
+    seg.cfg = Config.from_dict({"TEST": {"VISUALIZE": True}})
+    out = str(tmp_path / "viz")
+    evaluate_dataset(ds, seg, output_dir=out, refine=False, verbose=False)
+    names = sorted(os.listdir(out))
+    assert "000000_vis.png" in names and "000001_vis.png" in names

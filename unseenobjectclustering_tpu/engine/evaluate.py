@@ -155,6 +155,28 @@ def evaluate_dataset(dataset, segmentor: Segmentor,
                 {"labels": prediction, "labels_refined": prediction_refined,
                  "filename": sample.get("filename", str(i))},
                 do_compression=True)
+        seg_cfg = getattr(segmentor, "cfg", None)
+        if output_dir and seg_cfg is not None and bool(
+                seg_cfg.TEST.VISUALIZE):
+            # cfg.TEST.VISUALIZE parity (test_dataset.py:332-334) — save the
+            # image/depth/labels grid instead of showing a window
+            import matplotlib
+
+            matplotlib.use("Agg")
+            from unseenobjectclustering_tpu.utils.visualization import (
+                segmentation_grid)
+
+            img_u8 = np.clip(
+                (sample["image_color"]
+                 + segmentor.cfg.pixel_means / 255.0) * 255, 0,
+                255).astype(np.uint8)
+            fig = segmentation_grid(img_u8, xyz, None, prediction,
+                                    labels_refined=prediction_refined)
+            fig.savefig(os.path.join(output_dir, "%06d_vis.png" % i),
+                        dpi=90)
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)
 
         if verbose:
             print(f"[{i}/{n}] F={m['Objects F-measure']:.4f} "

@@ -238,6 +238,24 @@ class Segmentor:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def segment_sample(self, sample: dict, *, refine: bool = True,
+                       return_features: bool = False) -> SegmentationResult:
+        """The reference's de-facto public API shape: a sample dict in,
+        labels out (test_sample, lib/fcn/test_dataset.py:232-267 — the ROS
+        node and test_npy both call through this surface).
+
+        Accepts {'image_color': [H,W,3] or [B,H,W,3], 'depth': optional
+        [.,H,W,3] XYZ} (normalized, NHWC).
+        """
+        image = sample.get("image_color")
+        depth = sample.get("depth")
+        if image is not None and image.ndim == 3:
+            image = image[None]
+        if depth is not None and depth.ndim == 3:
+            depth = depth[None]
+        return self.segment(image, depth, refine=refine,
+                            return_features=return_features)
+
     def segment(self, image: Optional[np.ndarray],
                 xyz: Optional[np.ndarray] = None, *,
                 refine: bool = True,
