@@ -73,3 +73,41 @@ def test_depth_filter_drops_invalid_depth_instances():
     xyz = np.zeros((1, 64, 64, 3), np.float32)  # all-invalid depth
     res = seg_f.segment(img, xyz, refine=False)
     assert np.all(res.labels == 0)
+
+
+def test_color_only_pipeline():
+    """INPUT=COLOR: no depth anywhere; stage-2 orders crops by RoI area."""
+    cfg = Config.from_dict({
+        "INPUT": "COLOR",
+        "TRAIN": {"EMBEDDING_METRIC": "cosine", "NUM_UNITS": 8,
+                  "SYN_CROP_SIZE": 32},
+        "CLUSTER": {"NUM_SEEDS": 16, "MAX_INSTANCES": 4,
+                    "USE_PALLAS": False},
+    })
+    model = get_network("seg_resnet34_8s_embedding", cfg)
+    key = jax.random.PRNGKey(0)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(key, img, None, train=False)
+    seg = Segmentor(cfg, variables, variables_crop=variables,
+                    depth_threshold=None)
+    image = np.random.RandomState(5).rand(1, 64, 64, 3).astype(np.float32)
+    res = seg.segment(image, None, refine=True)
+    assert res.labels.shape == (1, 64, 64)
+    assert res.labels_refined is not None
+
+
+def test_depth_only_pipeline():
+    """INPUT=DEPTH: image may be None end to end."""
+    cfg = Config.from_dict({
+        "INPUT": "DEPTH",
+        "TRAIN": {"EMBEDDING_METRIC": "cosine", "NUM_UNITS": 8},
+        "CLUSTER": {"NUM_SEEDS": 16, "MAX_INSTANCES": 4,
+                    "USE_PALLAS": False},
+    })
+    model = get_network("seg_resnet34_8s_embedding", cfg)
+    xyz0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), None, xyz0, train=False)
+    seg = Segmentor(cfg, variables, depth_threshold=0.5)
+    xyz = np.random.RandomState(6).rand(1, 64, 64, 3).astype(np.float32)
+    res = seg.segment(None, xyz, refine=False)
+    assert res.labels.shape == (1, 64, 64)
