@@ -27,6 +27,11 @@ import pytest  # noqa: E402
 assert jax.default_backend() == "cpu"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute tests (subprocess dryruns, training)")
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(3)  # cfg.RNG_SEED parity
