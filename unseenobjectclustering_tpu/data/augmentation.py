@@ -47,53 +47,54 @@ def _rng(rng: Optional[np.random.RandomState]) -> np.random.RandomState:
 # RGB
 # ---------------------------------------------------------------------------
 
+# per-channel jitter half-ranges in HLS space: hue +-5% of 180 deg,
+# luminosity/saturation +-10% of full scale (distribution parity with
+# blob.py:74-99, which draws the same uniform widths)
+_HLS_JITTER = np.array([0.1 * 180, 0.2 * 256, 0.2 * 256], np.float32)
+
+
 def chromatic_transform(im: np.ndarray, label: Optional[np.ndarray] = None,
                         rng: Optional[np.random.RandomState] = None,
                         d_h=None, d_s=None, d_l=None) -> np.ndarray:
-    """Random hue/luminosity/saturation jitter on a BGR uint8 image
-    (blob.py:74-99)."""
+    """Random hue/luminosity/saturation jitter on a BGR uint8 image.
+
+    Distribution parity with blob.py:74-99; implemented as one vectorized
+    HLS-space add (hue wraps mod 180, L/S clip) rather than per-plane
+    split/merge.
+    """
     r = _rng(rng)
-    if d_h is None:
-        d_h = (r.rand(1) - 0.5) * 0.1 * 180
-    if d_l is None:
-        d_l = (r.rand(1) - 0.5) * 0.2 * 256
-    if d_s is None:
-        d_s = (r.rand(1) - 0.5) * 0.2 * 256
-    hls = cv2.cvtColor(im, cv2.COLOR_BGR2HLS)
-    h, l, s = cv2.split(hls)
-    new_h = (h + d_h) % 180
-    new_l = np.clip(l + d_l, 0, 255)
-    new_s = np.clip(s + d_s, 0, 255)
-    new_hls = cv2.merge((new_h, new_l, new_s)).astype("uint8")
-    new_im = cv2.cvtColor(new_hls, cv2.COLOR_HLS2BGR)
+    delta = (r.rand(3).astype(np.float32) - 0.5) * _HLS_JITTER
+    for i, override in enumerate((d_h, d_l, d_s)):
+        if override is not None:
+            delta[i] = np.asarray(override, np.float32).reshape(())
+    hls = cv2.cvtColor(im, cv2.COLOR_BGR2HLS).astype(np.float32) + delta
+    hls[..., 0] %= 180.0
+    np.clip(hls[..., 1:], 0.0, 255.0, out=hls[..., 1:])
+    new_im = cv2.cvtColor(hls.astype(np.uint8), cv2.COLOR_HLS2BGR)
     if label is not None:
         keep = label > 0
         new_im[keep] = im[keep]
     return new_im
 
 
+_BLUR_SIZES = (3, 5, 7, 9, 11, 15)
+
+
 def add_noise(image: np.ndarray, level: float = 0.1,
               rng: Optional[np.random.RandomState] = None) -> np.ndarray:
-    """90% Gaussian noise / 10% motion blur on a BGR uint8 image
-    (blob.py:102-129)."""
+    """90% additive Gaussian noise / 10% axis-aligned motion blur on a BGR
+    uint8 image (distribution parity with blob.py:102-129)."""
     r = _rng(rng)
-    if r.rand(1) < 0.9:
-        row, col, ch = image.shape
-        noise_level = r.uniform(0, level)
-        sigma = r.rand(1) * noise_level * 256
-        gauss = sigma * r.randn(row, col)
-        gauss = np.repeat(gauss[:, :, np.newaxis], ch, axis=2)
-        noisy = np.clip(image + gauss, 0, 255)
-    else:
-        sizes = [3, 5, 7, 9, 11, 15]
-        size = sizes[int(r.randint(len(sizes), size=1))]
-        kernel = np.zeros((size, size))
-        if r.rand(1) < 0.5:
-            kernel[(size - 1) // 2, :] = np.ones(size)
-        else:
-            kernel[:, (size - 1) // 2] = np.ones(size)
-        noisy = cv2.filter2D(image, -1, kernel / size)
-    return noisy.astype("uint8")
+    if r.rand() < 0.9:
+        sigma = r.rand() * r.uniform(0, level) * 256
+        gauss = r.randn(*image.shape[:2]).astype(np.float32) * sigma
+        return np.clip(image + gauss[..., None], 0, 255).astype(np.uint8)
+    # motion blur: 1-D box filter along a random axis — cv2.filter2D with a
+    # line kernel is separable, so run the 1-D kernel directly
+    size = _BLUR_SIZES[r.randint(len(_BLUR_SIZES))]
+    line = np.full((1, size), 1.0 / size, np.float32)
+    kernel = line if r.rand() < 0.5 else line.T
+    return cv2.filter2D(image, -1, kernel).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -113,47 +114,45 @@ def add_noise_to_xyz(xyz_img: np.ndarray, depth_img: np.ndarray,
                      noise_params: Mapping,
                      rng: Optional[np.random.RandomState] = None
                      ) -> np.ndarray:
-    """Approximate-GP additive noise: small anisotropic Gaussian field,
-    bicubically upscaled, added where depth is valid (augmentation.py:73-90)."""
+    """Approximate-GP additive noise: a coarse Gaussian field bicubically
+    upscaled to full resolution, applied only where depth is valid
+    (distribution parity with augmentation.py:73-90)."""
     r = _rng(rng)
-    xyz_img = xyz_img.copy()
     h, w, c = xyz_img.shape
-    gp = noise_params["gp_rescale_factor"]
-    small_h, small_w = (np.array([h, w]) / gp).astype(int)
-    noise = r.normal(0.0, noise_params["gaussian_scale"],
-                     size=(small_h, small_w, c))
-    noise = cv2.resize(noise, (w, h), interpolation=cv2.INTER_CUBIC)
-    valid = depth_img > 0
-    xyz_img[valid, :] += noise[valid, :]
-    return xyz_img
+    gp = int(noise_params["gp_rescale_factor"])
+    field = r.normal(0.0, noise_params["gaussian_scale"],
+                     size=(h // gp, w // gp, c))
+    field = cv2.resize(field, (w, h),
+                       interpolation=cv2.INTER_CUBIC).astype(xyz_img.dtype)
+    return np.where((depth_img > 0)[..., None], xyz_img + field, xyz_img)
 
 
 def dropout_random_ellipses(depth_img: np.ndarray, noise_params: Mapping,
                             rng: Optional[np.random.RandomState] = None
                             ) -> np.ndarray:
-    """Zero out Poisson-many random ellipses (sensor-dropout robustness,
-    augmentation.py:92-126)."""
+    """Zero out Poisson-many random ellipses (sensor-dropout robustness;
+    distribution parity with augmentation.py:92-126).
+
+    All ellipses are rasterized into ONE canvas and applied with a single
+    masked store — the reference allocates a fresh full-size mask and
+    rescans the image per ellipse.
+    """
     r = _rng(rng)
-    depth_img = depth_img.copy()
     num = r.poisson(noise_params["ellipse_dropout_mean"])
-    nonzero = np.array(np.where(depth_img > 0)).T
-    if nonzero.shape[0] == 0 or num == 0:
-        return depth_img
-    centers = nonzero[r.choice(nonzero.shape[0], size=num), :]
-    x_radii = r.gamma(noise_params["ellipse_gamma_shape"],
-                      noise_params["ellipse_gamma_scale"], size=num)
-    y_radii = r.gamma(noise_params["ellipse_gamma_shape"],
-                      noise_params["ellipse_gamma_scale"], size=num)
+    ys, xs = np.nonzero(depth_img > 0)
+    if ys.size == 0 or num == 0:
+        return depth_img.copy()
+    pick = r.choice(ys.size, size=num)
+    radii = np.rint(r.gamma(noise_params["ellipse_gamma_shape"],
+                            noise_params["ellipse_gamma_scale"],
+                            size=(num, 2))).astype(int)
     angles = r.randint(0, 360, size=num)
+    canvas = np.zeros(depth_img.shape[:2], np.uint8)
     for i in range(num):
-        mask = np.zeros_like(depth_img)
-        mask = cv2.ellipse(
-            mask, tuple(int(v) for v in centers[i][::-1]),
-            (int(np.round(x_radii[i])), int(np.round(y_radii[i]))),
-            angle=int(angles[i]), startAngle=0, endAngle=360, color=1,
-            thickness=-1)
-        depth_img[mask == 1] = 0
-    return depth_img
+        cv2.ellipse(canvas, (int(xs[pick[i]]), int(ys[pick[i]])),
+                    tuple(radii[i]), angle=int(angles[i]), startAngle=0,
+                    endAngle=360, color=1, thickness=-1)
+    return np.where(canvas.astype(bool), 0, depth_img)
 
 
 # ---------------------------------------------------------------------------

@@ -142,9 +142,12 @@ def evaluate_dataset(dataset, segmentor: Segmentor,
 
         if res.labels_refined is not None:
             prediction_refined = res.labels_refined[0]
+            m_ref = multilabel_metrics(prediction_refined, gt)
         else:
-            prediction_refined = prediction.copy()
-        m_ref = multilabel_metrics(prediction_refined, gt)
+            # no refinement ran: identical prediction, reuse the metrics
+            # instead of recomputing boundary maps + Hungarian a second time
+            prediction_refined = prediction
+            m_ref = m
         metrics_refined.append(m_ref)
 
         if output_dir and save_results:

@@ -277,7 +277,10 @@ class Segmentor:
         b = (img_d if img_d is not None else xyz_d).shape[0]
         features, labels = self._stage1(self.variables, img_d, xyz_d,
                                         jax.random.split(self.next_key(), b))
-        labels.block_until_ready()
+        # host fetch, NOT block_until_ready: through the axon tunnel only a
+        # host fetch reliably synchronizes, so timing["stage1"] would
+        # under-report on the real chip otherwise (CLAUDE.md gotcha)
+        labels_np = np.asarray(labels, dtype=np.int32)
         timing["stage1"] = time.perf_counter() - t0
 
         labels_refined = None
@@ -285,7 +288,6 @@ class Segmentor:
             t1 = time.perf_counter()
             b = labels.shape[0]
             refined = []
-            labels_np = np.asarray(labels)
             for i in range(b):
                 img_i = img_d[i] if img_d is not None else jnp.zeros(
                     xyz_d[i].shape, jnp.float32)
@@ -294,7 +296,7 @@ class Segmentor:
                 labels_veto, order_key, rois, valid = self._stage2(
                     self.variables_crop, img_i, labels[i], xyz_i,
                     self.next_key(), has_depth=xyz is not None)
-                ref = paste_back(labels_np[i].astype(np.int32),
+                ref = paste_back(labels_np[i],
                                  np.asarray(labels_veto),
                                  np.asarray(order_key), np.asarray(rois),
                                  np.asarray(valid))
@@ -304,7 +306,7 @@ class Segmentor:
 
         timing["total"] = time.perf_counter() - t0
         return SegmentationResult(
-            labels=np.asarray(labels, dtype=np.int32),
+            labels=labels_np,
             labels_refined=labels_refined,
             features=np.asarray(features) if return_features else None,
             timing=timing)
