@@ -46,6 +46,13 @@ def parse_args():
     parser.add_argument("--bf16", action="store_true",
                         help="mixed precision: bf16 conv stack, fp32 "
                              "params/optimizer/loss")
+    parser.add_argument("--device-augment", action="store_true",
+                        help="run the augmentation stack on-device fused "
+                             "into the train step (synthetic datasets only; "
+                             "the loader emits raw cached scenes)")
+    parser.add_argument("--render-cache", type=str, default=None,
+                        help="on-disk scene cache dir for the procedural "
+                             "renderer (see tools/render_dataset.py)")
     if len(sys.argv) == 1:
         parser.print_help()
         sys.exit(1)
@@ -75,6 +82,17 @@ def main():
         np.random.seed(cfg.RNG_SEED)
 
     dataset = get_dataset(args.dataset_name, cfg, path=args.dataset_root)
+    if args.render_cache is not None:
+        assert hasattr(dataset, "cache_dir"), (
+            f"{args.dataset_name} has no render cache")
+        dataset.cache_dir = args.render_cache
+    if args.device_augment:
+        assert hasattr(dataset, "raw"), (
+            f"{args.dataset_name} has no raw mode (synthetic datasets only)")
+        assert not cfg.TRAIN.SYN_CROP, (
+            "--device-augment covers the full-image path; crop training "
+            "keeps the host pipeline")
+        dataset.raw = True
     output_dir = get_output_dir(cfg, dataset.name)
     print(f"Output will be saved to `{output_dir}`")
 
@@ -115,10 +133,15 @@ def main():
         print(f"=> resumed full train state at epoch {ck_step}")
     state = replicate(state, mesh)
 
+    intrinsics = None
+    if args.device_augment:
+        intrinsics = (dataset.f, dataset.f, dataset.cx, dataset.cy)
+
     print(f"=> training on {n_dev} device(s): {mesh}")
     train_epochs(cfg, state, loader, epochs=args.epochs,
                  start_epoch=args.startepoch, solver=args.solver,
-                 output_dir=output_dir, mesh=mesh, max_k=args.max_k)
+                 output_dir=output_dir, mesh=mesh, max_k=args.max_k,
+                 intrinsics=intrinsics, seed=int(cfg.RNG_SEED))
 
 
 if __name__ == "__main__":

@@ -38,10 +38,18 @@ class SyntheticTabletopDataset(_DatasetBase):
                  path: Optional[str] = None, base_seed: int = 3,
                  height: Optional[int] = None, width: Optional[int] = None,
                  size: Optional[int] = None, min_objects: Optional[int] = None,
-                 max_objects: Optional[int] = None):
+                 max_objects: Optional[int] = None,
+                 cache_dir: Optional[str] = None, raw: bool = False):
         super().__init__(cfg, base_seed + (0 if image_set == "train"
                                            else 777_000_001))
         self._name = "synthetic_tabletop_" + image_set
+        # `path`, when given, doubles as an on-disk render cache (scenes are
+        # a pure function of the index, like TOD's pre-rendered directories)
+        self.cache_dir = cache_dir or path
+        # raw mode: emit the cached uint8/uint16 scene untouched so the
+        # whole augmentation + normalization stack runs on device
+        # (ops/train_pipeline.py) — the host is 1 core in this container
+        self.raw = raw
         # resolution / count come from the reference's synthetic-data config
         # keys (cfg.TRAIN.SYN_WIDTH/SYN_HEIGHT/SYNNUM/SYN_MIN_OBJECT/...)
         self.h = height or int(cfg.TRAIN.SYN_HEIGHT)
@@ -220,6 +228,49 @@ class SyntheticTabletopDataset(_DatasetBase):
         labels = np.where(valid, labels, 0)
         return bgr, depth, labels
 
+    # -- scene cache (memory -> disk -> render) --------------------------------
+
+    def _scene_path(self, idx: int) -> str:
+        import os
+        return os.path.join(self.cache_dir,
+                            f"{self._name}_{self.h}x{self.w}",
+                            f"{idx:06d}.npz")
+
+    def get_scene(self, idx: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Deterministic scene for `idx`: (bgr uint8, depth_mm uint16,
+        label uint8), already process_label'd.  Rendering is the expensive
+        step (~0.8 s at 480x640 on this 1-core host), so scenes are memoized
+        in RAM and, when `cache_dir` is set, persisted to disk — the same
+        regime as the reference's pre-rendered TOD directories."""
+        import os
+        cached = self._render_cache.get(idx)
+        if cached is not None:
+            return cached
+        scene = None
+        if self.cache_dir:
+            p = self._scene_path(idx)
+            if os.path.exists(p):
+                with np.load(p) as z:
+                    scene = (z["bgr"], z["depth_mm"], z["label"])
+        if scene is None:
+            scene_rng = np.random.RandomState(
+                (self.base_seed * 7_368_787 + idx) % (2 ** 31 - 1))
+            bgr, depth, labels = self.render(scene_rng)
+            labels = process_label(labels)
+            scene = (bgr, (depth * 1000).astype(np.uint16),
+                     labels.astype(np.uint8))
+            if self.cache_dir:
+                p = self._scene_path(idx)
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                tmp = p + f".tmp{os.getpid()}"
+                with open(tmp, "wb") as fh:  # file handle: no .npz suffixing
+                    np.savez(fh, bgr=scene[0], depth_mm=scene[1],
+                             label=scene[2])
+                os.replace(tmp, p)  # atomic: safe under a prerender process
+        if len(self._render_cache) < self._cache_cap:
+            self._render_cache[idx] = scene
+        return scene
+
     # -- sample contract --------------------------------------------------------
 
     def __getitem__(self, idx: int) -> dict:
@@ -228,21 +279,14 @@ class SyntheticTabletopDataset(_DatasetBase):
 
         cfg = self.cfg
         rng = self._rng(idx)  # augmentation stream: (epoch, index)
-        cached = self._render_cache.get(idx)
-        if cached is None:
-            scene_rng = np.random.RandomState(
-                (self.base_seed * 7_368_787 + idx) % (2 ** 31 - 1))
-            bgr, depth, labels = self.render(scene_rng)
-            labels = process_label(labels)
-            if len(self._render_cache) < self._cache_cap:
-                self._render_cache[idx] = (
-                    bgr, (depth * 1000).astype(np.uint16),
-                    labels.astype(np.uint8))
-        else:
-            bgr, depth_mm, labels8 = cached
-            bgr = bgr.copy()
-            depth = depth_mm.astype(np.float32) / 1000.0
-            labels = labels8.astype(np.int32)
+        bgr, depth_mm, labels8 = self.get_scene(idx)
+        if self.raw:
+            return {"bgr": bgr, "depth_mm": depth_mm,
+                    "label_raw": labels8,
+                    "filename": f"synthetic/{idx:08d}"}
+        bgr = bgr.copy()
+        depth = depth_mm.astype(np.float32) / 1000.0
+        labels = labels8.astype(np.int32)
 
         xyz = None
         if cfg.INPUT in ("DEPTH", "RGBD"):

@@ -138,19 +138,9 @@ def loss_fn(params, batch_stats, apply_fn, img, xyz, label, *,
     return out.loss, (out, mutated["batch_stats"])
 
 
-@functools.partial(jax.jit, static_argnames=("max_k", "metric"),
-                   donate_argnums=(0,))
-def train_step(state: TrainState, img, xyz, label, *, alpha: float,
-               delta: float, lambda_intra: float, lambda_inter: float,
-               max_k: int = 32, metric: str = "cosine"):
-    """One optimization step.
-
-    When the batch arrays carry a NamedSharding over a 'data' mesh axis and
-    the state is replicated, XLA turns the implicit gradient mean into an
-    ICI all-reduce — the TPU-native DataParallel (SURVEY.md §2.6).
-
-    Returns (new_state, metrics dict of scalars).
-    """
+def _train_step_body(state: TrainState, img, xyz, label, *, alpha: float,
+                     delta: float, lambda_intra: float, lambda_inter: float,
+                     max_k: int, metric: str):
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     (loss, (out, new_bs)), grads = grad_fn(
         state.params, state.batch_stats, state.apply_fn, img, xyz, label,
@@ -164,23 +154,50 @@ def train_step(state: TrainState, img, xyz, label, *, alpha: float,
     return new_state, metrics
 
 
+@functools.partial(jax.jit, static_argnames=("max_k", "metric"),
+                   donate_argnums=(0,))
+def train_step(state: TrainState, img, xyz, label, *, alpha: float,
+               delta: float, lambda_intra: float, lambda_inter: float,
+               max_k: int = 32, metric: str = "cosine"):
+    """One optimization step.
+
+    When the batch arrays carry a NamedSharding over a 'data' mesh axis and
+    the state is replicated, XLA turns the implicit gradient mean into an
+    ICI all-reduce — the TPU-native DataParallel (SURVEY.md §2.6).
+
+    Returns (new_state, metrics dict of scalars).
+    """
+    return _train_step_body(state, img, xyz, label, alpha=alpha, delta=delta,
+                            lambda_intra=lambda_intra,
+                            lambda_inter=lambda_inter, max_k=max_k,
+                            metric=metric)
+
+
 def train_epochs(cfg: Config, state: TrainState, dataloader, *,
                  epochs: int, start_epoch: int = 0,
                  solver: str = "adam", output_dir: Optional[str] = None,
                  mesh=None, max_k: int = 32, log_every: int = 20,
-                 snapshot_epochs: Optional[int] = None) -> TrainState:
+                 snapshot_epochs: Optional[int] = None,
+                 intrinsics: Optional[tuple] = None,
+                 seed: int = 3) -> TrainState:
     """Epoch loop with per-iteration logging and orbax snapshots.
 
     Mirrors tools/train_net.py:146-160 + lib/fcn/train.py:37-76: per-iter
     loss/intra/inter/lr line, snapshot every SNAPSHOT_EPOCHS.  Data
     parallelism: pass a Mesh and the batch is sharded over it (state must
     already be replicated).
+
+    Batches may be pre-augmented sample dicts ('image_color'/'depth'/'label')
+    or RAW scene dicts ('bgr'/'depth_mm'/'label_raw', see dataset raw mode) —
+    raw batches run the fused on-device augmentation step
+    (make_train_step_raw; requires `intrinsics` (fx, fy, px, py)).
     """
     import time as _time
 
     from unseenobjectclustering_tpu.parallel import shard_batch
 
     step_fn = make_train_step(cfg, max_k=max_k)
+    step_fn_raw = None
     _, schedule = make_optimizer(cfg, solver, max(len(dataloader), 1),
                                  start_epoch)
     snapshot_epochs = snapshot_epochs or int(cfg.TRAIN.SNAPSHOT_EPOCHS)
@@ -189,12 +206,30 @@ def train_epochs(cfg: Config, state: TrainState, dataloader, *,
         epoch_size = len(dataloader)
         t_last = _time.time()
         for i, batch in enumerate(dataloader):
-            img = batch.get("image_color")
-            xyz = batch.get("depth")
-            label = batch["label"]
-            if mesh is not None:
-                img, xyz, label = shard_batch((img, xyz, label), mesh)
-            state, metrics = step_fn(state, img, xyz, label)
+            if "bgr" in batch:
+                if step_fn_raw is None:
+                    assert intrinsics is not None, (
+                        "raw batches need intrinsics=(fx, fy, px, py)")
+                    fx, fy, px, py = intrinsics
+                    step_fn_raw = make_train_step_raw(
+                        cfg, fx=fx, fy=fy, px=px, py=py, max_k=max_k)
+                bgr, depth_mm, label = (batch["bgr"], batch["depth_mm"],
+                                        batch["label_raw"])
+                if mesh is not None:
+                    bgr, depth_mm, label = shard_batch(
+                        (bgr, depth_mm, label), mesh)
+                # fresh augmentation stream per (seed, epoch, step)
+                key = jax.random.PRNGKey(
+                    (seed * 1_000_003 + epoch * 97_003 + i) % (2 ** 31 - 1))
+                state, metrics = step_fn_raw(state, bgr, depth_mm, label,
+                                             key)
+            else:
+                img = batch.get("image_color")
+                xyz = batch.get("depth")
+                label = batch["label"]
+                if mesh is not None:
+                    img, xyz, label = shard_batch((img, xyz, label), mesh)
+                state, metrics = step_fn(state, img, xyz, label)
             if i % log_every == 0:
                 loss = float(metrics["loss"])
                 lr = float(schedule(int(state.step)))
@@ -224,5 +259,36 @@ def make_train_step(cfg: Config, max_k: int = 32):
 
     def step(state, img, xyz, label):
         return train_step(state, img, xyz, label, **kw)
+
+    return step
+
+
+def make_train_step_raw(cfg: Config, *, fx: float, fy: float, px: float,
+                        py: float, max_k: int = 32):
+    """Fused augmentation + optimization step for RAW scene batches.
+
+    The loader emits cached uint8/uint16 scenes untouched (the 1-core host
+    does no augmentation work); the returned step runs the whole
+    ops.train_pipeline augmentation stack AND the forward/backward/update in
+    ONE XLA program — one dispatch per step matters here because per-call
+    dispatch through the axon tunnel costs ~85 ms.
+
+    step(state, bgr_u8 [B,H,W,3], depth_mm_u16 [B,H,W], label_u8 [B,H,W],
+         key) -> (new_state, metrics)
+    """
+    from unseenobjectclustering_tpu.ops.train_pipeline import (
+        make_device_augment)
+
+    augment = make_device_augment(cfg, fx=fx, fy=fy, px=px, py=py)
+    kw = dict(alpha=float(cfg.TRAIN.EMBEDDING_ALPHA),
+              delta=float(cfg.TRAIN.EMBEDDING_DELTA),
+              lambda_intra=float(cfg.TRAIN.EMBEDDING_LAMBDA_INTRA),
+              lambda_inter=float(cfg.TRAIN.EMBEDDING_LAMBDA_INTER),
+              max_k=max_k, metric=str(cfg.TRAIN.EMBEDDING_METRIC))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, bgr, depth_mm, label_u8, key):
+        img, xyz, label = augment(bgr, depth_mm, label_u8, key)
+        return _train_step_body(state, img, xyz, label, **kw)
 
     return step

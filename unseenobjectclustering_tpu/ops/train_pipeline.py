@@ -1,0 +1,182 @@
+"""TPU-native training input pipeline: the whole per-sample augmentation +
+normalization stack as one compiled device function.
+
+The reference runs its augmentation in CPU dataloader workers
+(lib/datasets/tabletop_object.py:135-155,241-254,299-306).  This container's
+host has ONE core, so the host path (~45 ms/sample at 480x640) starves the
+chip; here the loader emits raw cached scenes (bgr uint8, depth_mm uint16,
+label uint8) and everything else runs inside the training step's XLA program:
+
+  depth:  multiplicative gamma noise (augmentation.py:58-71) ->
+          random-ellipse dropout (augmentation.py:92-126; analytic
+          rasterization instead of cv2.ellipse — same center/radius/angle
+          distributions) -> mm->m -> pinhole backprojection
+          (tabletop_object.py:57-93) -> GP additive XYZ noise
+          (augmentation.py:73-90; the coarse noise field is upsampled
+          bilinearly on the MXU instead of bicubically — it is iid noise,
+          so the interpolant only shapes its spectrum slightly).
+  rgb:    chromatic HLS jitter + Gaussian/motion-blur noise at 90%
+          probability each (blob.py:74-129, tabletop_object.py:299-302)
+          via ops.augment, then BGR/255 - pixel_mean.
+  labels: per-cluster pixel sampling to EMBEDDING_SAMPLING_NUM, rest -1
+          (tabletop_object.py:241-254) — one argsort groups pixels by
+          (cluster, random) and a rank-within-group test keeps exactly N
+          per cluster, replacing the reference's per-cluster permutation
+          loop.
+
+Everything is per-sample pure-functional and vmapped over the batch, so it
+shards trivially over a data-parallel mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from unseenobjectclustering_tpu.ops.augment import (add_noise_device,
+                                                    chromatic_transform_device)
+from unseenobjectclustering_tpu.ops.preprocess import compute_xyz
+from unseenobjectclustering_tpu.ops.resize import upsample_bilinear
+
+# DEFAULT_NOISE_PARAMS (data/augmentation.py / tabletop_object.py:23-55)
+GAMMA_SHAPE = 1000.0
+GAMMA_SCALE = 0.001
+GAUSSIAN_SCALE = 0.005
+GP_RESCALE = 4
+ELLIPSE_DROPOUT_MEAN = 10.0
+ELLIPSE_GAMMA_SHAPE = 5.0
+ELLIPSE_GAMMA_SCALE = 1.0
+# Poisson(10) rarely exceeds this; the tail is clamped (the reference has no
+# cap, but P[X>24] < 5e-5 — a per-image distribution deviation far below the
+# augmentation's own variance)
+MAX_ELLIPSES = 24
+
+
+def dropout_random_ellipses_device(depth_m: jax.Array,
+                                   key: jax.Array) -> jax.Array:
+    """Zero Poisson-many random ellipses over valid-depth pixels.
+
+    Distribution parity with augmentation.py:92-126: centers uniform over
+    depth>0 pixels, gamma(5,1) pixel radii, uniform rotation; the ellipse
+    test is analytic per pixel instead of a cv2 raster.
+    """
+    h, w = depth_m.shape
+    k_num, k_ctr, k_rad, k_ang = jax.random.split(key, 4)
+    num = jnp.minimum(
+        jax.random.poisson(k_num, ELLIPSE_DROPOUT_MEAN), MAX_ELLIPSES)
+    live = jnp.arange(MAX_ELLIPSES) < num                       # [E]
+
+    valid = (depth_m > 0).reshape(-1).astype(jnp.float32)       # [HW]
+    probs = valid / jnp.maximum(valid.sum(), 1.0)
+    centers = jax.random.choice(k_ctr, h * w, shape=(MAX_ELLIPSES,), p=probs)
+    cy = (centers // w).astype(jnp.float32)                     # [E]
+    cx = (centers % w).astype(jnp.float32)
+    radii = jnp.rint(
+        jax.random.gamma(k_rad, ELLIPSE_GAMMA_SHAPE,
+                         shape=(MAX_ELLIPSES, 2)) * ELLIPSE_GAMMA_SCALE)
+    rx = jnp.maximum(radii[:, 0], 0.5)                          # [E]
+    ry = jnp.maximum(radii[:, 1], 0.5)
+    theta = jax.random.uniform(k_ang, (MAX_ELLIPSES,), maxval=2 * jnp.pi)
+
+    v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    du = u[None] - cx[:, None, None]                            # [E, H, W]
+    dv = v[None] - cy[:, None, None]
+    ct, st = jnp.cos(theta)[:, None, None], jnp.sin(theta)[:, None, None]
+    a = (du * ct + dv * st) / rx[:, None, None]
+    b = (-du * st + dv * ct) / ry[:, None, None]
+    inside = (a * a + b * b <= 1.0) & live[:, None, None]
+    return jnp.where(inside.any(axis=0), 0.0, depth_m)
+
+
+def add_gp_noise_to_xyz_device(xyz: jax.Array, depth_m: jax.Array,
+                               key: jax.Array) -> jax.Array:
+    """Coarse Gaussian field, upsampled, added where depth is valid
+    (augmentation.py:73-90; bilinear instead of bicubic upsampling)."""
+    h, w, c = xyz.shape
+    field = GAUSSIAN_SCALE * jax.random.normal(
+        key, (h // GP_RESCALE, w // GP_RESCALE, c))
+    field = upsample_bilinear(field, (h, w))
+    return jnp.where((depth_m > 0)[..., None], xyz + field, xyz)
+
+
+def sample_pixels_device(label: jax.Array, key: jax.Array,
+                         num: int) -> jax.Array:
+    """Keep <= num random pixels per cluster, rest -> -1
+    (tabletop_object.py:241-254).
+
+    One argsort of (label + U[0,1)) orders pixels grouped by cluster with a
+    random order inside each group; rank-within-group < num selects exactly
+    the reference's per-cluster sample counts.
+    """
+    h, w = label.shape
+    n = h * w
+    flat = label.reshape(-1)
+    r = jax.random.uniform(key, (n,))
+    order = jnp.argsort(flat.astype(jnp.float32) + r)
+    sorted_lab = flat[order]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_lab[1:] != sorted_lab[:-1]])
+    group_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_new, iota, 0))
+    keep_sorted = (iota - group_start) < num
+    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
+    return jnp.where(keep, flat, -1).reshape(h, w).astype(jnp.int32)
+
+
+def make_device_augment(cfg, *, fx: float, fy: float, px: float, py: float):
+    """Build augment(bgr_u8 [B,H,W,3], depth_mm_u16 [B,H,W],
+    label_u8 [B,H,W], key) -> (image, xyz, label) for cfg.
+
+    Returned arrays follow cfg.INPUT: image/xyz are None for DEPTH/COLOR
+    respectively.  Call inside a jit (engine.train.make_train_step_raw fuses
+    it into the training step so each step is ONE device dispatch).
+    """
+    input_type = str(cfg.INPUT)
+    use_chromatic = bool(cfg.TRAIN.CHROMATIC)
+    use_noise = bool(cfg.TRAIN.ADD_NOISE)
+    sampling_num = (int(cfg.TRAIN.EMBEDDING_SAMPLING_NUM)
+                    if bool(cfg.TRAIN.EMBEDDING_SAMPLING) else 0)
+    pixel_means = jnp.asarray(cfg.pixel_means, jnp.float32)
+
+    def one(bgr, depth_mm, label_u8, key):
+        ks = jax.random.split(key, 8)
+        h, w = depth_mm.shape
+        label = label_u8.astype(jnp.int32)
+
+        xyz = None
+        if input_type in ("DEPTH", "RGBD"):
+            depth = depth_mm.astype(jnp.float32) / 1000.0
+            mult = jax.random.gamma(ks[0], GAMMA_SHAPE) * GAMMA_SCALE
+            depth = dropout_random_ellipses_device(depth * mult, ks[1])
+            xyz = compute_xyz(depth, fx, fy, px, py, height=h, width=w)
+            xyz = add_gp_noise_to_xyz_device(xyz, depth, ks[2])
+
+        image = None
+        if input_type in ("COLOR", "RGBD"):
+            img = bgr.astype(jnp.float32)
+            if use_chromatic:  # 90% probability (tabletop_object.py:299)
+                img = jax.lax.cond(
+                    jax.random.uniform(ks[3]) > 0.1,
+                    lambda im: chromatic_transform_device(im, ks[4]),
+                    lambda im: im, img)
+            if use_noise:
+                img = jax.lax.cond(
+                    jax.random.uniform(ks[5]) > 0.1,
+                    lambda im: add_noise_device(im, ks[6]),
+                    lambda im: im, img)
+            image = img / 255.0 - pixel_means / 255.0
+
+        if sampling_num:
+            label = sample_pixels_device(label, ks[7], sampling_num)
+        return image, xyz, label
+
+    def augment(bgr, depth_mm, label_u8, key):
+        keys = jax.random.split(key, label_u8.shape[0])
+        return jax.vmap(one)(bgr, depth_mm, label_u8, keys)
+
+    return augment
