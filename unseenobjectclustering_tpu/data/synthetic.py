@@ -1,13 +1,18 @@
 """Procedural synthetic tabletop RGB-D scenes (self-contained trainer data).
 
 The reference trains on the 34 GB Tabletop Object Dataset rendered offline
-with PyBullet (README.md:60-66); that data cannot ship with the framework.
-This module provides an in-process procedural substitute with the same
-sample contract as TableTopObject: a pinhole camera looks down at a textured
-table plane carrying K random convex objects (spheres / oriented boxes /
-vertical cylinders), rendered by exact per-pixel ray casting with a z-buffer
-(vectorized numpy, ~10 ms per 480x640 scene), then pushed through the SAME
-augmentation + normalization stack (depth noise, chromatic, pixel sampling).
+with PyBullet over ShapeNet meshes (README.md:60-66); that data cannot ship
+with the framework.  This module provides an in-process procedural
+substitute with the same sample contract as TableTopObject: a pinhole
+camera (random tilt + roll) looks down at a textured table plane over an
+infinite textured floor, carrying K composite objects — each a union of
+1-3 primitives (spheres / oriented boxes / capped cylinders) forming
+stacks, mugs, bottles — with per-object procedural surface textures
+(stripes / checker / marble), adjacency + stacking placement so objects
+touch and occlude, contact shadows, and randomized colored lighting.
+Scenes are rendered by exact per-pixel ray casting with a z-buffer
+(vectorized numpy), then pushed through the SAME augmentation +
+normalization stack (depth noise, chromatic, pixel sampling).
 
 It exists so the full training loop can be exercised and validated
 end-to-end — train a real embedding network, cluster a held-out scene,
@@ -29,6 +34,144 @@ from unseenobjectclustering_tpu.data.datasets import (_DatasetBase,
 
 def _normalize(v):
     return v / max(np.linalg.norm(v), 1e-12)
+
+
+# Bump to invalidate on-disk scene caches when the renderer changes.
+RENDER_VERSION = 2
+
+
+# -- primitive ray intersections (camera at the origin, rays d [H,W,3]) ------
+#
+# Each helper returns (tt [H,W] float32 ray parameter, inf = miss;
+# nrm [H,W,3] unit surface normal, valid where tt is finite).
+
+
+def _isect_sphere(d, c, r):
+    a = (d * d).sum(-1)
+    bq = -2.0 * (d @ c)
+    cq = np.float32(c @ c - r * r)
+    disc = bq * bq - 4.0 * a * cq
+    with np.errstate(invalid="ignore"):
+        tt = np.where(disc > 0,
+                      (-bq - np.sqrt(np.maximum(disc, 0))) / (2 * a),
+                      np.inf).astype(np.float32)
+        tt = np.where(tt > 0.05, tt, np.inf)
+        pt = d * tt[..., None]
+        nrm = pt - c[None, None]
+        nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True),
+                               1e-9)
+    return tt, np.nan_to_num(nrm)
+
+
+def _isect_box(d, c, axes, half):
+    """Oriented box: `axes` [3,3] rows = unit axes, `half` [3] half-extents."""
+    ro = -np.stack([c @ axes[0], c @ axes[1], c @ axes[2]])
+    rd = np.stack([d @ axes[0], d @ axes[1], d @ axes[2]], axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / rd
+    lo = (-half - ro) * inv
+    hi = (half - ro) * inv
+    tmin = np.minimum(lo, hi).max(axis=-1)
+    tmax = np.maximum(lo, hi).min(axis=-1)
+    tt = np.where((tmax > tmin) & (tmin > 0.05), tmin,
+                  np.inf).astype(np.float32)
+    with np.errstate(invalid="ignore"):
+        pt_o = ro[None, None] + rd * tt[..., None]
+        scale = np.abs(pt_o) / half
+    face = np.argmax(np.nan_to_num(scale), axis=-1)
+    sgn = np.take_along_axis(np.sign(np.nan_to_num(pt_o)), face[..., None],
+                             axis=-1)[..., 0]
+    nrm = axes[face] * sgn[..., None]
+    return tt, nrm
+
+
+def _isect_cylinder(d, c, axes, r, hz):
+    """Finite cylinder along axes[2] with radius r, half-height hz, capped."""
+    ro = -np.stack([c @ axes[0], c @ axes[1], c @ axes[2]])
+    rd = np.stack([d @ axes[0], d @ axes[1], d @ axes[2]], axis=-1)
+    a = rd[..., 0] ** 2 + rd[..., 1] ** 2
+    bq = 2 * (ro[0] * rd[..., 0] + ro[1] * rd[..., 1])
+    cq = ro[0] ** 2 + ro[1] ** 2 - r * r
+    disc = bq * bq - 4 * a * cq
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_side = np.where((disc > 0) & (a > 1e-12),
+                          (-bq - np.sqrt(np.maximum(disc, 0))) / (2 * a),
+                          np.inf)
+        zs = ro[2] + rd[..., 2] * t_side
+        t_side = np.where(np.abs(zs) <= hz, t_side, np.inf)
+        # both caps; the one facing the camera wins via the min below
+        t_caps = np.full(t_side.shape, np.inf, np.float32)
+        cap_sign = np.zeros(t_side.shape, np.float32)
+        for s in (1.0, -1.0):
+            t_cap = (s * hz - ro[2]) / rd[..., 2]
+            pu = ro[0] + rd[..., 0] * t_cap
+            pv = ro[1] + rd[..., 1] * t_cap
+            ok = (pu * pu + pv * pv <= r * r) & (t_cap > 0)
+            t_cap = np.where(ok, t_cap, np.inf)
+            cap_sign = np.where(t_cap < t_caps, s, cap_sign)
+            t_caps = np.minimum(t_caps, t_cap)
+    tt = np.minimum(t_side, t_caps).astype(np.float32)
+    tt = np.where(tt > 0.05, tt, np.inf)
+    side = t_side < t_caps
+    with np.errstate(invalid="ignore"):
+        pt_o = ro[None, None] + rd * tt[..., None]
+        nrm_side = (pt_o[..., 0, None] * axes[0][None, None]
+                    + pt_o[..., 1, None] * axes[1][None, None])
+        nn = np.linalg.norm(nrm_side, axis=-1, keepdims=True)
+        nrm_side = nrm_side / np.maximum(nn, 1e-9)
+    nrm_side = np.nan_to_num(nrm_side)
+    nrm_cap = axes[2][None, None] * cap_sign[..., None]
+    nrm = np.where(side[..., None], nrm_side, nrm_cap)
+    return tt, nrm
+
+
+def _isect_prims(d, prims):
+    """Union of primitives: nearest hit wins.  Returns (tt, nrm)."""
+    tt = np.full(d.shape[:2], np.inf, np.float32)
+    nrm = np.zeros(d.shape, np.float32)
+    for p in prims:
+        if p["type"] == "sphere":
+            t_p, n_p = _isect_sphere(d, p["c"], p["r"])
+        elif p["type"] == "box":
+            t_p, n_p = _isect_box(d, p["c"], p["axes"], p["half"])
+        else:
+            t_p, n_p = _isect_cylinder(d, p["c"], p["axes"], p["r"], p["hz"])
+        closer = t_p < tt
+        tt = np.where(closer, t_p, tt)
+        nrm = np.where(closer[..., None], n_p, nrm)
+    return tt, nrm
+
+
+def _surface_pattern(pt, spec):
+    """Procedural scalar texture in [0, 1] from world-space hit points.
+
+    spec: dict with 'kind' in {plain, stripes, checker, marble}, random
+    direction vectors u1/u2, frequency f, phase.  Evaluated on masked
+    points only (pt is [M, 3]).
+    """
+    kind = spec["kind"]
+    if kind == "plain":
+        return np.full(pt.shape[0], 0.0, np.float32)
+    a = pt @ spec["u1"] * spec["f"] + spec["phase"]
+    if kind == "stripes":
+        return (0.5 + 0.5 * np.sin(2 * np.pi * a)).astype(np.float32)
+    b = pt @ spec["u2"] * spec["f"]
+    if kind == "checker":
+        return ((np.floor(a) + np.floor(b)) % 2).astype(np.float32)
+    # marble: sinusoid warped by a second sinusoid
+    return (0.5 + 0.5 * np.sin(2 * np.pi * a + 3.0 * np.sin(2 * np.pi * b))
+            ).astype(np.float32)
+
+
+def _random_pattern(rng, plain_prob=0.3):
+    kinds = ["stripes", "checker", "marble"]
+    kind = ("plain" if rng.rand() < plain_prob
+            else kinds[rng.randint(len(kinds))])
+    u1 = _normalize(rng.randn(3)).astype(np.float32)
+    u2 = _normalize(rng.randn(3)).astype(np.float32)
+    return {"kind": kind, "u1": u1, "u2": u2,
+            "f": np.float32(rng.uniform(15.0, 70.0)),
+            "phase": np.float32(rng.uniform(0, 2 * np.pi))}
 
 
 class SyntheticTabletopDataset(_DatasetBase):
@@ -69,161 +212,269 @@ class SyntheticTabletopDataset(_DatasetBase):
 
     # -- geometry -------------------------------------------------------------
 
-    def _rays(self):
+    def _rays(self, roll: float = 0.0):
         if not hasattr(self, "_ray_cache"):
             v, u = np.mgrid[:self.h, :self.w].astype(np.float32)
             d = np.stack([(u - self.cx) / self.f, (v - self.cy) / self.f,
                           np.ones_like(u)], axis=-1).astype(np.float32)
             self._ray_cache = d
-        return self._ray_cache  # unnormalized: t = z-depth along the axis
+        d = self._ray_cache  # unnormalized: t = z-depth along the axis
+        if roll:
+            cr, sr = np.cos(roll), np.sin(roll)
+            d = np.stack([cr * d[..., 0] - sr * d[..., 1],
+                          sr * d[..., 0] + cr * d[..., 1],
+                          d[..., 2]], axis=-1).astype(np.float32)
+        return d
 
     def _scene_frame(self, rng):
-        """Table plane: camera tilted ~30-50 deg looking at the table."""
+        """Table plane: camera tilted ~25-55 deg looking at the table."""
         tilt = np.radians(rng.uniform(25, 55))
         n = np.array([0.0, -np.cos(tilt), -np.sin(tilt)], np.float32)
-        p0 = np.array([0.0, 0.25, rng.uniform(0.7, 1.1)], np.float32)
+        p0 = np.array([0.0, 0.25, rng.uniform(0.6, 0.95)], np.float32)
         t1 = _normalize(np.cross(n, [0.0, 0.0, 1.0]))
         t2 = np.cross(n, t1)
         return n, p0, t1.astype(np.float32), t2.astype(np.float32)
 
+    def _build_object(self, rng, axes):
+        """Composite object resting at the local origin: 1-3 primitives.
+
+        Returns (prims with centers relative to the base point, footprint
+        radius, height, stackable).  Kinds mimic common tabletop objects
+        (TOD renders ShapeNet mugs/bottles/boxes; README.md:60-66).
+        """
+        a1, a2, a3 = axes
+
+        def rel(offset):
+            return (offset[0] * a1 + offset[1] * a2
+                    + offset[2] * a3).astype(np.float32)
+
+        kind = rng.choice(6, p=[0.22, 0.2, 0.18, 0.16, 0.12, 0.12])
+        prims = []
+        if kind == 0:      # sphere
+            r = np.float32(rng.uniform(0.035, 0.085))
+            prims.append({"type": "sphere", "c": rel((0, 0, r)), "r": r})
+            return prims, float(r), float(2 * r), False
+        if kind == 1:      # box
+            hx = np.float32(rng.uniform(0.03, 0.085))
+            hy = np.float32(rng.uniform(0.03, 0.085))
+            hz = np.float32(rng.uniform(0.035, 0.14))
+            prims.append({"type": "box", "c": rel((0, 0, hz)), "axes": axes,
+                          "half": np.array([hx, hy, hz], np.float32)})
+            return prims, float(np.hypot(hx, hy)), float(2 * hz), True
+        if kind == 2:      # cylinder
+            r = np.float32(rng.uniform(0.025, 0.075))
+            hz = np.float32(rng.uniform(0.05, 0.14))
+            prims.append({"type": "cyl", "c": rel((0, 0, hz)), "axes": axes,
+                          "r": r, "hz": hz})
+            return prims, float(r), float(2 * hz), True
+        if kind == 3:      # stack: box base + smaller prim on top
+            hx = np.float32(rng.uniform(0.04, 0.085))
+            hy = np.float32(rng.uniform(0.04, 0.085))
+            hz = np.float32(rng.uniform(0.035, 0.08))
+            prims.append({"type": "box", "c": rel((0, 0, hz)), "axes": axes,
+                          "half": np.array([hx, hy, hz], np.float32)})
+            ju, jv = rng.uniform(-0.01, 0.01, 2)
+            top = rng.randint(3)
+            if top == 0:
+                r2 = np.float32(rng.uniform(0.015, min(hx, hy)))
+                prims.append({"type": "sphere",
+                              "c": rel((ju, jv, 2 * hz + r2)), "r": r2})
+                height = 2 * hz + 2 * r2
+            elif top == 1:
+                h2 = np.float32(rng.uniform(0.015, 0.05))
+                half2 = np.array([rng.uniform(0.015, hx),
+                                  rng.uniform(0.015, hy), h2], np.float32)
+                prims.append({"type": "box", "c": rel((ju, jv, 2 * hz + h2)),
+                              "axes": axes, "half": half2})
+                height = 2 * hz + 2 * h2
+            else:
+                r2 = np.float32(rng.uniform(0.015, min(hx, hy)))
+                h2 = np.float32(rng.uniform(0.02, 0.05))
+                prims.append({"type": "cyl", "c": rel((ju, jv, 2 * hz + h2)),
+                              "axes": axes, "r": r2, "hz": h2})
+                height = 2 * hz + 2 * h2
+            return prims, float(np.hypot(hx, hy)), float(height), False
+        if kind == 4:      # mug: cylinder + side handle
+            r = np.float32(rng.uniform(0.035, 0.06))
+            hz = np.float32(rng.uniform(0.05, 0.095))
+            prims.append({"type": "cyl", "c": rel((0, 0, hz)), "axes": axes,
+                          "r": r, "hz": hz})
+            hw = np.float32(rng.uniform(0.008, 0.014))
+            prims.append({"type": "box",
+                          "c": rel((r + hw, 0, hz)), "axes": axes,
+                          "half": np.array([hw, 0.8 * hw, 0.6 * hz],
+                                           np.float32)})
+            return prims, float(r + 2 * hw), float(2 * hz), True
+        # kind == 5: bottle: body + neck + cap sphere
+        r = np.float32(rng.uniform(0.03, 0.055))
+        hz = np.float32(rng.uniform(0.06, 0.11))
+        prims.append({"type": "cyl", "c": rel((0, 0, hz)), "axes": axes,
+                      "r": r, "hz": hz})
+        rn = np.float32(r * rng.uniform(0.35, 0.55))
+        hn = np.float32(rng.uniform(0.015, 0.035))
+        prims.append({"type": "cyl", "c": rel((0, 0, 2 * hz + hn)),
+                      "axes": axes, "r": rn, "hz": hn})
+        prims.append({"type": "sphere", "c": rel((0, 0, 2 * hz + 2 * hn)),
+                      "r": np.float32(rn * 1.2)})
+        return prims, float(r), float(2 * hz + 2 * hn + rn), False
+
     def render(self, rng) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Returns (bgr uint8 [H,W,3], depth_m float32 [H,W], labels int32)."""
         h, w = self.h, self.w
-        d = self._rays()                      # [H,W,3]
+        d = self._rays(roll=np.radians(rng.uniform(-12, 12)))   # [H,W,3]
         n, p0, t1, t2 = self._scene_frame(rng)
 
         zbuf = np.full((h, w), np.inf, np.float32)
         labels = np.zeros((h, w), np.int32)
         normal_buf = np.zeros((h, w, 3), np.float32)
-        color_ids = np.zeros((h, w), np.int32)
+        plane_id = np.zeros((h, w), np.int32)  # 0 none, 1 table, 2 floor
 
-        # table plane: t = (p0 . n) / (d . n)
+        # table plane + infinite floor below it: t = (p . n) / (d . n)
         dn = d @ n
-        t_plane = np.where(dn < -1e-6, (p0 @ n) / np.where(
-            np.abs(dn) < 1e-6, -1e-6, dn), np.inf).astype(np.float32)
+        dn_safe = np.where(np.abs(dn) < 1e-6, -1e-6, dn)
         table_extent = 0.9
-        hit_p = d * t_plane[..., None]
-        rel = hit_p - p0
-        uu, vv = rel @ t1, rel @ t2
-        on_table = ((t_plane > 0.05) & (np.abs(uu) < table_extent)
-                    & (np.abs(vv) < table_extent))
-        zbuf = np.where(on_table, t_plane, zbuf)
-        normal_buf[on_table] = n
-        uv_table = (uu, vv)
+        p_floor = (p0 - np.float32(rng.uniform(0.35, 0.8)) * n)
+        for pid, pp in ((1, p0), (2, p_floor)):
+            t_plane = np.where(dn < -1e-6, (pp @ n) / dn_safe,
+                               np.inf).astype(np.float32)
+            if pid == 1:
+                with np.errstate(invalid="ignore"):
+                    rel = d * np.nan_to_num(t_plane, posinf=0.0)[..., None] - pp
+                    inside = ((np.abs(rel @ t1) < table_extent)
+                              & (np.abs(rel @ t2) < table_extent))
+            else:
+                inside = True
+            hit = (t_plane > 0.05) & (t_plane < zbuf) & inside
+            zbuf = np.where(hit, t_plane, zbuf)
+            normal_buf[hit] = n
+            plane_id = np.where(hit, pid, plane_id)
 
+        # -- objects: composite primitives with adjacency / stacking placement
         k = rng.randint(self.min_objects, self.max_objects + 1)
+        placed = []   # dicts: cu, cv, foot_r, top_h, stackable
+        specs = []    # per-object texture/color specs (index obj-1)
         for obj in range(1, k + 1):
-            cu = rng.uniform(-0.45, 0.45)
-            cv_ = rng.uniform(-0.35, 0.45)
-            kind = rng.randint(3)
-            # "up" from the table = +n (the camera is on the +n side)
-            if kind == 0:   # sphere resting on the plane
-                r = np.float32(rng.uniform(0.03, 0.07))
-                c = (p0 + cu * t1 + cv_ * t2 + r * n).astype(np.float32)
-                # solve |t d - c|^2 = r^2
-                a = (d * d).sum(-1)
-                bq = -2 * (d @ c)
-                cq = np.float32(c @ c - r * r)
-                disc = bq * bq - 4 * a * cq
-                with np.errstate(invalid="ignore"):
-                    tt = np.where(
-                        disc > 0,
-                        (-bq - np.sqrt(np.maximum(disc, 0))) / (2 * a),
-                        np.inf).astype(np.float32)
-                hit = (tt > 0.05) & (tt < zbuf)
-                with np.errstate(invalid="ignore"):
-                    pt = d * tt[..., None]
-                    nrm = pt - c[None, None]
-                    nrm = nrm / np.maximum(
-                        np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
-                nrm = np.nan_to_num(nrm)
-            else:           # box or vertical cylinder, in the table frame
-                yaw = rng.uniform(0, np.pi)
-                a1 = (np.cos(yaw) * t1 + np.sin(yaw) * t2).astype(np.float32)
-                a2 = (-np.sin(yaw) * t1 + np.cos(yaw) * t2).astype(np.float32)
-                a3 = n  # up
-                hx = np.float32(rng.uniform(0.025, 0.06))
-                hy = np.float32(rng.uniform(0.025, 0.06))
-                hz = np.float32(rng.uniform(0.04, 0.12))
-                if kind == 2:
-                    hy = hx  # cylinder radius
-                c = (p0 + cu * t1 + cv_ * t2 + hz * a3).astype(np.float32)
-                # ray in object frame
-                ro = -np.stack([c @ a1, c @ a2, c @ a3])
-                rd = np.stack([d @ a1, d @ a2, d @ a3], axis=-1)
-                if kind == 1:  # OBB slab test
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        inv = 1.0 / rd
-                    lo = (np.array([-hx, -hy, -hz]) - ro) * inv
-                    hi = (np.array([hx, hy, hz]) - ro) * inv
-                    tmin = np.minimum(lo, hi).max(axis=-1)
-                    tmax = np.maximum(lo, hi).min(axis=-1)
-                    tt = np.where((tmax > tmin) & (tmin > 0.05),
-                                  tmin, np.inf).astype(np.float32)
-                    hit = tt < zbuf
-                    with np.errstate(invalid="ignore"):
-                        pt_o = ro[None, None] + rd * tt[..., None]
-                    # face normal = dominant axis of the hit point
-                    scale = np.abs(pt_o) / np.array([hx, hy, hz])
-                    face = np.argmax(scale, axis=-1)
-                    sgn = np.take_along_axis(
-                        np.sign(pt_o), face[..., None], axis=-1)[..., 0]
-                    axes = np.stack([a1, a2, a3])
-                    nrm = axes[face] * sgn[..., None]
-                else:          # finite vertical cylinder + top cap
-                    a = rd[..., 0] ** 2 + rd[..., 1] ** 2
-                    bq = 2 * (ro[0] * rd[..., 0] + ro[1] * rd[..., 1])
-                    cq = ro[0] ** 2 + ro[1] ** 2 - hx * hx
-                    disc = bq * bq - 4 * a * cq
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        t_side = np.where(
-                            (disc > 0) & (a > 1e-12),
-                            (-bq - np.sqrt(np.maximum(disc, 0))) / (2 * a),
-                            np.inf)
-                    zs = ro[2] + rd[..., 2] * t_side
-                    t_side = np.where(np.abs(zs) <= hz, t_side, np.inf)
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        # top cap faces the camera at +hz along a3 (up)
-                        t_cap = (hz - ro[2]) / rd[..., 2]
-                    pu = ro[0] + rd[..., 0] * t_cap
-                    pv = ro[1] + rd[..., 1] * t_cap
-                    t_cap = np.where(
-                        (pu * pu + pv * pv <= hx * hx) & (t_cap > 0),
-                        t_cap, np.inf)
-                    tt = np.minimum(t_side, t_cap).astype(np.float32)
-                    tt = np.where(tt > 0.05, tt, np.inf)
-                    hit = tt < zbuf
-                    side = t_side < t_cap
-                    with np.errstate(invalid="ignore"):
-                        pt_o = ro[None, None] + rd * tt[..., None]
-                        nrm_side = (pt_o[..., 0, None] * a1[None, None]
-                                    + pt_o[..., 1, None] * a2[None, None])
-                        nn = np.linalg.norm(nrm_side, axis=-1, keepdims=True)
-                        nrm_side = nrm_side / np.maximum(nn, 1e-9)
-                    nrm_side = np.nan_to_num(nrm_side)
-                    nrm = np.where(side[..., None], nrm_side,
-                                   a3[None, None] * np.ones_like(nrm_side))
+            yaw = rng.uniform(0, np.pi)
+            a1 = (np.cos(yaw) * t1 + np.sin(yaw) * t2).astype(np.float32)
+            a2 = (-np.sin(yaw) * t1 + np.cos(yaw) * t2).astype(np.float32)
+            axes = np.stack([a1, a2, n])
+            prims, foot_r, height, stackable = self._build_object(rng, axes)
+
+            mode = rng.rand()
+            base_h = 0.0
+            supports = [p for p in placed
+                        if p["stackable"] and p["foot_r"] >= 0.9 * foot_r]
+            if mode < 0.18 and supports:          # stack on a flat-top object
+                s = supports[rng.randint(len(supports))]
+                jr = 0.3 * max(s["foot_r"] - foot_r, 0.0)
+                cu = s["cu"] + rng.uniform(-jr, jr)
+                cv_ = s["cv"] + rng.uniform(-jr, jr)
+                base_h = s["top_h"]
+                s["stackable"] = False
+            elif mode < 0.55 and placed:          # touching a placed object
+                s = placed[rng.randint(len(placed))]
+                th = rng.uniform(0, 2 * np.pi)
+                dist = s["foot_r"] + foot_r + rng.uniform(-0.008, 0.02)
+                cu = np.clip(s["cu"] + dist * np.cos(th), -0.5, 0.5)
+                cv_ = np.clip(s["cv"] + dist * np.sin(th), -0.4, 0.5)
+            else:                                 # free placement
+                cu = rng.uniform(-0.45, 0.45)
+                cv_ = rng.uniform(-0.35, 0.45)
+
+            base = (p0 + cu * t1 + cv_ * t2 + base_h * n).astype(np.float32)
+            for p in prims:
+                p["c"] = (p["c"] + base).astype(np.float32)
+            tt, nrm = _isect_prims(d, prims)
+            hit = tt < zbuf
             zbuf = np.where(hit, tt, zbuf)
             labels = np.where(hit, obj, labels)
             normal_buf[hit] = nrm[hit]
-            color_ids = np.where(hit, obj, color_ids)
+            placed.append({"cu": cu, "cv": cv_, "foot_r": foot_r,
+                           "top_h": base_h + height, "stackable": stackable})
+            c1 = rng.uniform(0.15, 1.0, size=3)
+            c2 = rng.uniform(0.15, 1.0, size=3)
+            specs.append({"pattern": _random_pattern(rng),
+                          "c1": c1.astype(np.float32),
+                          "c2": c2.astype(np.float32)})
 
-        # shading: ambient + lambertian
-        light = _normalize(np.array([0.3, -0.8, -0.5]))
-        lambert = np.clip(-(normal_buf @ light), 0.0, 1.0)
-        shade = 0.4 + 0.6 * lambert
-        palette = rng.uniform(0.2, 1.0, size=(k + 1, 3))
-        palette[0] = rng.uniform(0.35, 0.9, size=3)  # table base color
-        base = palette[color_ids]
-        # table texture: smooth noise
-        tex = rng.rand(h // 8 + 1, w // 8 + 1)
-        tex = np.kron(tex, np.ones((8, 8)))[:h, :w]
-        base[color_ids == 0] *= (0.8 + 0.4 * tex[color_ids == 0])[..., None]
-        rgb = base * shade[..., None]
         valid = np.isfinite(zbuf)
-        rgb[~valid] = rng.uniform(0, 0.1)
+        pts = d * np.where(valid, zbuf, 0.0)[..., None]  # world hit points
+
+        # -- surface color: per-object procedural texture ---------------------
+        base_col = np.zeros((h, w, 3), np.float32)
+        for obj in range(1, k + 1):
+            m = labels == obj
+            if not m.any():
+                continue
+            s = specs[obj - 1]
+            t = _surface_pattern(pts[m], s["pattern"])[:, None]
+            base_col[m] = s["c1"] * (1.0 - t) + s["c2"] * t
+        # table: base color x multi-octave noise x optional grain pattern
+        table_spec = {"pattern": _random_pattern(rng, plain_prob=0.45),
+                      "c1": rng.uniform(0.3, 0.95, 3).astype(np.float32),
+                      "c2": rng.uniform(0.3, 0.95, 3).astype(np.float32)}
+        floor_col1 = rng.uniform(0.1, 0.8, 3).astype(np.float32)
+        floor_col2 = rng.uniform(0.1, 0.8, 3).astype(np.float32)
+        for pid, spec in ((1, table_spec), (2, None)):
+            m = (plane_id == pid) & (labels == 0)
+            if not m.any():
+                continue
+            if spec is not None:
+                t = _surface_pattern(pts[m], spec["pattern"])[:, None]
+                col = spec["c1"] * (1.0 - t) + spec["c2"] * t
+            else:
+                t = _surface_pattern(pts[m], {"kind": "marble",
+                                              "u1": _normalize(rng.randn(3)),
+                                              "u2": _normalize(rng.randn(3)),
+                                              "f": np.float32(4.0),
+                                              "phase": 0.0})[:, None]
+                col = floor_col1 * (1.0 - t) + floor_col2 * t
+            # smooth blotch noise (bilinear-upsampled low-res field)
+            import cv2
+            tex = cv2.resize(rng.rand(h // 32 + 2, w // 32 + 2),
+                             (w, h), interpolation=cv2.INTER_LINEAR)
+            col = col * (0.8 + 0.4 * tex[m])[:, None]
+            base_col[m] = col
+
+        # -- lighting: randomized direction + color, lambertian + shadows -----
+        light = _normalize(np.array([rng.uniform(-0.6, 0.6),
+                                     rng.uniform(-1.0, -0.3),
+                                     rng.uniform(-0.9, -0.2)]))
+        light_col = (1.0 + rng.uniform(-0.12, 0.12, 3)).astype(np.float32)
+        ambient = rng.uniform(0.35, 0.55)
+        lambert = np.clip(-(normal_buf @ light), 0.0, 1.0)
+        shade = ambient + (1.0 - ambient) * lambert
+
+        # contact shadows on the support planes (cheap: radial falloff
+        # around each object footprint in table coordinates)
+        on_plane = (plane_id > 0) & (labels == 0)
+        if placed and on_plane.any():
+            rel = pts[on_plane] - p0
+            uu, vv = rel @ t1, rel @ t2
+            sh = np.ones(uu.shape, np.float32)
+            for p in placed:
+                du = uu - p["cu"]
+                dv = vv - p["cv"]
+                r_sh = 1.6 * p["foot_r"]
+                fall = np.clip(1.0 - np.sqrt(du * du + dv * dv) / r_sh,
+                               0.0, 1.0)
+                sh = sh * (1.0 - 0.45 * fall * fall)
+            shade_pl = shade[on_plane] * sh
+            shade[on_plane] = shade_pl
+
+        exposure = rng.uniform(1.0, 1.35)
+        rgb = base_col * shade[..., None] * light_col * exposure
+        # sky / out-of-scene rays: dark gradient + noise, invalid depth
+        if (~valid).any():
+            g = (0.02 + 0.08 * (1.0 - np.mgrid[:h, :w][0] / h)
+                 + 0.02 * rng.rand(h, w))
+            rgb[~valid] = g[~valid][:, None]
         bgr = (np.clip(rgb[..., ::-1], 0, 1) * 255).astype(np.uint8)
 
+        # sensor far clip: real RGB-D cameras return 0 beyond a few meters;
+        # this also keeps the uint16 millimeter cache in range
+        far = rng.uniform(3.5, 6.0)
+        valid = valid & (zbuf < far)
         depth = np.where(valid, zbuf, 0.0).astype(np.float32)
         labels = np.where(valid, labels, 0)
         return bgr, depth, labels
@@ -233,7 +484,7 @@ class SyntheticTabletopDataset(_DatasetBase):
     def _scene_path(self, idx: int) -> str:
         import os
         return os.path.join(self.cache_dir,
-                            f"{self._name}_{self.h}x{self.w}",
+                            f"{self._name}_{self.h}x{self.w}_v{RENDER_VERSION}",
                             f"{idx:06d}.npz")
 
     def get_scene(self, idx: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
