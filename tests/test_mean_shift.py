@@ -8,7 +8,7 @@ import pytest
 
 from unseenobjectclustering_tpu.ops.mean_shift import (
     assign_and_swap_background, connected_components, hill_climb_xla,
-    mean_shift_smart_init, select_smart_seeds)
+    mean_shift_smart_init, select_smart_seeds, select_smart_seeds_lazy)
 from unseenobjectclustering_tpu.ops.pallas_mean_shift import hill_climb_pallas
 
 
@@ -93,6 +93,54 @@ def test_select_seeds_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(seeds), oseeds, atol=1e-6)
 
 
+def test_lazy_seeding_matches_oracle_exactly(rng):
+    """The lazy blocked farthest-point selection is mathematically exact:
+    stale per-block bounds are true upper bounds, so the argmax is
+    unchanged.  In float64 (no near-tie rounding noise between the matvec
+    and matmul formulations) every seed index must match the oracle."""
+    x, _, _ = make_clustered_data(rng, n_per=400, d=16, k=5)
+    x64 = jnp.asarray(x, jnp.float64)
+    with jax.enable_x64(True):
+        seeds, idxs = select_smart_seeds_lazy(
+            x64, 20, jax.random.key(0), first_index=jnp.int32(7), block=256)
+    _, oidxs = oracle_select_seeds(x.astype(np.float64), 20, 7)
+    np.testing.assert_array_equal(np.asarray(idxs), oidxs)
+
+
+def test_lazy_seeding_fp32_near_parity(rng):
+    """fp32 picks can swap on numeric near-ties (measured gaps ~3e-6); the
+    chosen seed must still be a farthest-point-quality pick: its true
+    min-distance must be within tolerance of the eager pick's at each
+    step."""
+    x, _, _ = make_clustered_data(rng, n_per=300, d=16, k=4)
+    xj = jnp.asarray(x)
+    _, ie = select_smart_seeds(xj, 15, jax.random.key(0),
+                               first_index=jnp.int32(3))
+    _, il = select_smart_seeds_lazy(xj, 15, jax.random.key(0),
+                                    first_index=jnp.int32(3), block=256)
+    ie, il = np.asarray(ie), np.asarray(il)
+    xd = x.astype(np.float64)
+    md_e = 0.5 * (1 - xd @ xd[ie[0]])
+    md_l = md_e.copy()
+    for k in range(1, 15):
+        # the lazy pick's min-distance equals the eager pick's up to fp32
+        # rounding noise at every step
+        assert abs(md_l[il[k]] - md_e[ie[k]]) < 1e-4
+        md_e = np.minimum(md_e, 0.5 * (1 - xd @ xd[ie[k]]))
+        md_l = np.minimum(md_l, 0.5 * (1 - xd @ xd[il[k]]))
+
+
+def test_lazy_seeding_block_not_dividing_n(rng):
+    x, _, _ = make_clustered_data(rng, n_per=37, d=8, k=3)  # n = 185
+    with jax.enable_x64(True):
+        _, idxs = select_smart_seeds_lazy(
+            jnp.asarray(x, jnp.float64), 12, jax.random.key(1),
+            first_index=jnp.int32(0), block=64)
+    _, oidxs = oracle_select_seeds(x.astype(np.float64), 12, 0)
+    np.testing.assert_array_equal(np.asarray(idxs), oidxs)
+    assert (np.asarray(idxs) < x.shape[0]).all()
+
+
 def test_hill_climb_xla_matches_oracle(rng):
     x, _, _ = make_clustered_data(rng, n_per=40, d=8)
     z0 = x[:5].copy()
@@ -108,6 +156,31 @@ def test_hill_climb_pallas_matches_xla(rng):
     got = np.asarray(hill_climb_pallas(jnp.asarray(x), jnp.asarray(z0),
                                        kappa=20.0, max_iters=10, tile_n=128))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_assign_pallas_matches_xla(rng):
+    """Fused assignment+histogram kernel == the XLA formulation, including
+    the first-occurrence tie-breaking and the background swap."""
+    from unseenobjectclustering_tpu.ops.pallas_mean_shift import (
+        assign_labels_pallas)
+    x, _, centers = make_clustered_data(rng, n_per=130, d=16, k=4)
+    seeds = jnp.asarray(_unit(np.repeat(centers, 3, axis=0)
+                              + 0.01 * rng.randn(12, 16)).astype(np.float32))
+    seed_labels = jnp.asarray(np.array([0, 0, 1, 1, 1, 2, 2, 0, 3, 3, 2, 1],
+                                       np.int32))
+    want = np.asarray(assign_and_swap_background(jnp.asarray(x), seeds,
+                                                 seed_labels))
+    labels, counts = assign_labels_pallas(jnp.asarray(x), seeds, seed_labels,
+                                          tile_n=128)
+    label_max = jnp.argmax(counts).astype(jnp.int32)
+    got = jnp.where(labels == 0, label_max,
+                    jnp.where(labels == label_max, 0, labels))
+    got = np.asarray(jnp.where(label_max != 0, got, labels))
+    np.testing.assert_array_equal(got, want)
+    # histogram matches a direct bincount of the pre-swap labels
+    pre = np.asarray(labels)
+    np.testing.assert_array_equal(np.asarray(counts).astype(np.int64),
+                                  np.bincount(pre, minlength=12))
 
 
 def test_connected_components_matches_oracle(rng):

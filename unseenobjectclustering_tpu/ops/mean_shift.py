@@ -104,6 +104,99 @@ def select_smart_seeds(x: jax.Array, num_seeds: int, key: jax.Array,
     return seeds, idxs
 
 
+def select_smart_seeds_lazy(x: jax.Array, num_seeds: int, key: jax.Array,
+                            first_index: Optional[jax.Array] = None,
+                            block: int = 16384
+                            ) -> tuple[jax.Array, jax.Array]:
+    """Exact farthest-point seeding with lazy per-block bound refresh
+    (cosine metric).
+
+    Same selection as select_smart_seeds / the reference
+    (lib/utils/mean_shift.py:128-189): each step picks the pixel with the
+    largest min-distance-to-chosen-seeds.  The naive loop reads the whole
+    [n, d] matrix every step (100 x 78 MB of HBM traffic at 480x640 fp32 —
+    ~23 ms/frame measured on v5e).  Here pixels are grouped into blocks and
+    each block carries a STALE upper bound on its max-min-distance:
+    min-distances only shrink as seeds are added, so a bound computed at an
+    older seed count is always >= the true value.  Each step refreshes only
+    blocks whose stale bound beats the current best — the classic lazy-max
+    trick — which is mathematically guaranteed to pick the same argmax while
+    touching a small fraction of the blocks per step.
+
+    Returns (seeds [m, d], seed_indices [m] int32).
+    """
+    n, d = x.shape
+    nb = min(block, n)
+    num_blocks = (n + nb - 1) // nb
+    n_pad = num_blocks * nb
+    xp = jnp.zeros((n_pad, d), x.dtype).at[:n].set(x)
+    xb = xp.reshape(num_blocks, nb, d)
+    # global pixel index per (block, slot); padded slots masked to -inf below
+    gidx = (jnp.arange(num_blocks, dtype=jnp.int32)[:, None] * nb
+            + jnp.arange(nb, dtype=jnp.int32)[None, :])
+    pad = gidx >= n
+
+    if first_index is None:
+        first_index = jax.random.randint(key, (), 0, n)
+    first_index = first_index.astype(jnp.int32)
+    first_seed = xp[first_index]
+
+    # full pass vs seed 0 (every block must be scored once anyway before the
+    # first argmax); per-pixel min-distances are NOT stored — a lazy refresh
+    # recomputes them from the chosen seeds, so the only carried state is
+    # three [B] vectors
+    sim0 = jax.lax.dot_general(xb, first_seed,
+                               dimension_numbers=(((2,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    md0 = jnp.where(pad, -jnp.inf, 0.5 * (1.0 - sim0))        # [B, nb]
+    bound = jnp.max(md0, axis=1)                              # [B]
+    arg = jnp.argmax(md0, axis=1).astype(jnp.int32)           # [B]
+    last_k = jnp.ones((num_blocks,), jnp.int32)
+
+    seeds = jnp.zeros((num_seeds, d), x.dtype).at[0].set(first_seed)
+    idxs = jnp.full((num_seeds,), -1, jnp.int32).at[0].set(first_index)
+    seed_col = jnp.arange(num_seeds, dtype=jnp.int32)
+
+    def refresh(state, k):
+        bound, arg, last_k, seeds = state
+        b = jnp.argmax(bound).astype(jnp.int32)
+        xb_b = jax.lax.dynamic_index_in_dim(xb, b, axis=0, keepdims=False)
+        # distance to ALL chosen seeds (columns >= k masked out); identical
+        # to incrementally min-ing against the new seeds since the min is
+        # exact, and one [nb, m] matmul is cheaper than bookkeeping
+        sim = jax.lax.dot_general(xb_b, seeds,
+                                  dimension_numbers=(((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dist = jnp.where(seed_col[None, :] < k, 0.5 * (1.0 - sim), jnp.inf)
+        md = jnp.min(dist, axis=1)
+        md = jnp.where(pad[b], -jnp.inf, md)
+        bound = bound.at[b].set(jnp.max(md))
+        arg = arg.at[b].set(jnp.argmax(md).astype(jnp.int32))
+        last_k = last_k.at[b].set(k)
+        return bound, arg, last_k, seeds
+
+    def step(k, carry):
+        bound, arg, last_k, seeds, idxs = carry
+
+        def stale(state):
+            b = jnp.argmax(state[0]).astype(jnp.int32)
+            return state[2][b] < k
+
+        state = jax.lax.while_loop(
+            stale, lambda s: refresh(s, k), (bound, arg, last_k, seeds))
+        bound, arg, last_k, seeds = state
+        b = jnp.argmax(bound).astype(jnp.int32)
+        sel = (b * nb + arg[b]).astype(jnp.int32)
+        seed = xp[sel]
+        seeds = seeds.at[k].set(seed)
+        idxs = idxs.at[k].set(sel)
+        return bound, arg, last_k, seeds, idxs
+
+    _, _, _, seeds, idxs = jax.lax.fori_loop(
+        1, num_seeds, step, (bound, arg, last_k, seeds, idxs))
+    return seeds, idxs
+
+
 def hill_climb_xla(x: jax.Array, z: jax.Array, kappa: float, max_iters: int,
                    metric: str = "cosine") -> jax.Array:
     """Pure-XLA mean-shift hill climbing (mean_shift.py:79-109)."""
@@ -234,16 +327,32 @@ def mean_shift_smart_init(x: jax.Array, key: jax.Array, *, kappa: float = 20.0,
         seeds, seed_indices = select_seeds_pallas(
             x_seed, num_seeds, first_index.astype(jnp.int32))
         seed_indices = seed_indices * seed_subsample
+    elif metric == "cosine" and x_seed.shape[0] > 65536:
+        # full-resolution (stride-1) seeding: X cannot be VMEM-resident, so
+        # use the exact lazy-bound blocked selection — identical argmax
+        # semantics, a fraction of the HBM traffic (23 -> ~7 ms/frame on
+        # v5e at 307k pixels)
+        seeds, seed_indices = select_smart_seeds_lazy(x_seed, num_seeds, key,
+                                                      first_index)
+        seed_indices = seed_indices * seed_subsample
     else:
         seeds, seed_indices = select_smart_seeds(xc, num_seeds, key, metric,
                                                  first_index, seed_subsample)
     if metric == "cosine" and use_pallas:
         from unseenobjectclustering_tpu.ops.pallas_mean_shift import (
-            hill_climb_pallas)
+            assign_labels_pallas, hill_climb_pallas)
         z = hill_climb_pallas(xc, seeds, kappa=kappa, max_iters=max_iters)
+        seed_labels = connected_components(z, epsilon, metric)
+        # fused assignment + histogram (one X pass), then the
+        # largest-cluster -> background relabel (mean_shift.py:217-227)
+        labels, counts = assign_labels_pallas(xc, z, seed_labels)
+        label_max = jnp.argmax(counts).astype(jnp.int32)
+        swapped = jnp.where(labels == 0, label_max,
+                            jnp.where(labels == label_max, 0, labels))
+        labels = jnp.where(label_max != 0, swapped, labels)
     else:
         z = hill_climb_xla(xc, seeds, kappa, max_iters, metric)
-    seed_labels = connected_components(z, epsilon, metric)
-    labels = assign_and_swap_background(xc, z, seed_labels, metric)
+        seed_labels = connected_components(z, epsilon, metric)
+        labels = assign_and_swap_background(xc, z, seed_labels, metric)
     return MeanShiftResult(labels=labels, seed_indices=seed_indices, seeds=z,
                            seed_labels=seed_labels)

@@ -1,21 +1,32 @@
-"""Fused Pallas TPU kernel for vMF mean-shift hill climbing.
+"""Fused Pallas TPU kernels for vMF mean-shift: hill climbing + assignment.
 
 The reference materializes the full [m x n] kernel matrix
 W = exp(kappa Z X^T) in GPU memory every iteration
 (lib/utils/mean_shift.py:95-98).  For n = 480*640 = 307k pixels that is a
-~123 MB HBM round-trip per iteration.  This kernel instead runs all
-`max_iters` iterations in ONE pallas_call:
+~123 MB HBM round-trip per iteration.  Here both hot phases stream X through
+VMEM in a feature-major [d, n] layout — with d = 64 the tiles are exactly
+(64 sublanes x tile_n lanes), so no lane padding doubles the HBM traffic
+(the row-major [n, d] layout would pad d 64 -> 128):
 
-  * grid = (max_iters, n_tiles); TPU grid steps run sequentially, so VMEM
-    scratch carries the seed state Z across iterations,
-  * each step streams one X tile HBM->VMEM, computes the [M x TILE_N]
-    similarity block on the MXU, exponentiates on the VPU, and accumulates
-    W @ X_tile into a VMEM-resident accumulator — W never touches HBM,
-  * at iteration boundaries the accumulator is row-normalized in VMEM
-    (the cosine-metric update Z <- normalize(W X), mean_shift.py:106-107).
+  * hill_climb_pallas: all `max_iters` iterations in ONE pallas_call with
+    grid (max_iters, n_tiles); VMEM scratch carries the seed state Z across
+    iterations; each step computes the [M x TILE_N] similarity block on the
+    MXU, exponentiates on the VPU, and accumulates W @ X_tile into a
+    VMEM-resident accumulator — W never touches HBM.  At iteration
+    boundaries the accumulator is row-normalized in VMEM (the cosine-metric
+    update Z <- normalize(W X), mean_shift.py:106-107).
 
-Padding invariants: zero-padded X rows contribute exp(0)*0 = 0 to the
-accumulator; zero-padded Z rows produce garbage rows that are sliced away.
+  * assign_labels_pallas: pixel -> nearest-converged-seed assignment
+    (mean_shift.py:206-215) fused with the cluster-size histogram the
+    background swap needs (:217-227).  One X pass; the [n, m] distance
+    matrix and the [n, m] one-hot count matrix never exist in HBM (the XLA
+    formulation spends ~3.8 ms/frame on those round-trips; this kernel is
+    bound by one 78 MB X read).
+
+Padding invariants: zero-padded X columns produce sim = 0 -> they are
+assigned to seed argmax(0 row) deterministically but masked out of the
+histogram and sliced off the label output; zero-padded Z rows are masked to
+-inf similarity so no pixel selects them.
 """
 
 from __future__ import annotations
@@ -37,7 +48,7 @@ def _normalize_rows(v, eps=1e-12):
     return v / jnp.maximum(norm, eps)
 
 
-def _hill_climb_kernel(x_ref, z0_ref, out_ref, z_cur, z_acc, *,
+def _hill_climb_kernel(xt_ref, z0_ref, out_ref, z_cur, z_acc, *,
                        kappa: float, n_tiles: int, max_iters: int):
     it = pl.program_id(0)
     j = pl.program_id(1)
@@ -54,17 +65,17 @@ def _hill_climb_kernel(x_ref, z0_ref, out_ref, z_cur, z_acc, *,
 
         z_acc[:] = jnp.zeros_like(z_acc)
 
-    xt = x_ref[:]  # [TILE_N, D] in x dtype
+    xt = xt_ref[:]  # [D, TILE_N] in x dtype
     # similarity block on the MXU: [M, TILE_N]
     s = jax.lax.dot_general(
         z_cur[:].astype(xt.dtype), xt,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     w = jnp.exp(kappa * s)
-    # accumulate W @ X_tile : [M, D]
+    # accumulate W @ X_tile^T : [M, D]
     z_acc[:] += jax.lax.dot_general(
         w.astype(xt.dtype) if xt.dtype != jnp.float32 else w, xt,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when((it == max_iters - 1) & (j == n_tiles - 1))
@@ -75,7 +86,7 @@ def _hill_climb_kernel(x_ref, z0_ref, out_ref, z_cur, z_acc, *,
 @functools.partial(jax.jit, static_argnames=("kappa", "max_iters", "tile_n",
                                              "interpret"))
 def hill_climb_pallas(x: jax.Array, z0: jax.Array, *, kappa: float = 20.0,
-                      max_iters: int = 10, tile_n: int = 2048,
+                      max_iters: int = 10, tile_n: int = 4096,
                       interpret: bool | None = None) -> jax.Array:
     """Run `max_iters` cosine vMF mean-shift updates of seeds z0 over data x.
 
@@ -90,11 +101,15 @@ def hill_climb_pallas(x: jax.Array, z0: jax.Array, *, kappa: float = 20.0,
     n, d = x.shape
     m = z0.shape[0]
     m_pad = _round_up(max(m, 8), 8)
+    tile_n = min(tile_n, _round_up(n, 128))
     n_pad = _round_up(n, tile_n)
-    d_pad = _round_up(d, 128)
+    d_sub = _round_up(d, 8)
 
-    xp = jnp.zeros((n_pad, d_pad), dtype=x.dtype).at[:n, :d].set(x)
-    zp = jnp.zeros((m_pad, d_pad), dtype=jnp.float32).at[:m, :d].set(
+    # feature-major layout: [d, n] tiles are (d sublanes x tile_n lanes) so
+    # d = 64 needs no 128-lane padding (XLA CSEs this transpose with the
+    # assignment kernel's when both run in one jit program)
+    xt = jnp.zeros((d_sub, n_pad), dtype=x.dtype).at[:d, :n].set(x.T)
+    zp = jnp.zeros((m_pad, d_sub), dtype=jnp.float32).at[:m, :d].set(
         z0.astype(jnp.float32))
     n_tiles = n_pad // tile_n
 
@@ -103,23 +118,127 @@ def hill_climb_pallas(x: jax.Array, z0: jax.Array, *, kappa: float = 20.0,
                           max_iters=max_iters),
         grid=(max_iters, n_tiles),
         in_specs=[
-            pl.BlockSpec((tile_n, d_pad), lambda it, j: (j, 0),
+            pl.BlockSpec((d_sub, tile_n), lambda it, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, d_pad), lambda it, j: (0, 0),
+            pl.BlockSpec((m_pad, d_sub), lambda it, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m_pad, d_pad), lambda it, j: (0, 0),
+        out_specs=pl.BlockSpec((m_pad, d_sub), lambda it, j: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, d_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m_pad, d_sub), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((m_pad, d_pad), jnp.float32),  # z_cur
-            pltpu.VMEM((m_pad, d_pad), jnp.float32),  # z_acc
+            pltpu.VMEM((m_pad, d_sub), jnp.float32),  # z_cur
+            pltpu.VMEM((m_pad, d_sub), jnp.float32),  # z_acc
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * max_iters * n_pad * m_pad * d_pad,
-            bytes_accessed=max_iters * n_pad * d_pad * x.dtype.itemsize,
+            flops=2 * 2 * max_iters * n_pad * m_pad * d_sub,
+            bytes_accessed=max_iters * n_pad * d_sub * x.dtype.itemsize,
             transcendentals=max_iters * n_pad * m_pad,
         ),
         interpret=interpret,
-    )(xp, zp)
+    )(xt, zp)
     return out[:m, :d]
+
+
+def _assign_kernel(xt_ref, z_ref, slab_ref, lab_ref, cnt_ref, cnt_acc, *,
+                   m: int, n: int, n_tiles: int):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        cnt_acc[:] = jnp.zeros_like(cnt_acc)
+
+    xt = xt_ref[:]                      # [D, TILE_N]
+    tile_n = xt.shape[1]
+    # similarity on the MXU; argmin(dist) == argmax(sim) with identical
+    # first-occurrence tie-breaking (dist = 0.5 * (1 - sim) is monotone)
+    s = jax.lax.dot_general(
+        z_ref[:].astype(xt.dtype), xt,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [M_pad, TILE_N]
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    s = jnp.where(row < m, s, -jnp.inf)              # padded seeds never win
+    closest = jnp.argmax(s, axis=0).astype(jnp.int32)            # [TILE_N]
+
+    # cluster label via one-hot matmul (per-lane gather is not a TPU-friendly
+    # primitive; seed_labels . onehot is exact for labels < 2^24)
+    onehot = (row == closest[None, :]).astype(jnp.float32)       # [M_pad, T]
+    clab = jax.lax.dot_general(
+        slab_ref[:].astype(jnp.float32), onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                      # [1, T]
+    clab_i = clab.astype(jnp.int32)
+    lab_ref[:] = clab_i
+
+    # histogram of cluster labels over valid pixels
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
+    valid = (j * tile_n + col) < n                               # [1, T]
+    hot = ((row == clab_i) & valid).astype(jnp.float32)          # [M_pad, T]
+    cnt_acc[:, 0:1] += jnp.sum(hot, axis=1, keepdims=True)
+
+    @pl.when(j == n_tiles - 1)
+    def _finish():
+        cnt_ref[:] = cnt_acc[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def assign_labels_pallas(x: jax.Array, seeds: jax.Array,
+                         seed_labels: jax.Array, tile_n: int = 8192,
+                         interpret: bool | None = None
+                         ) -> tuple[jax.Array, jax.Array]:
+    """Fused nearest-seed assignment + cluster histogram (cosine metric).
+
+    Args:
+      x: [n, d] unit vectors.
+      seeds: [m, d] converged seeds.
+      seed_labels: [m] int32 cluster ids from connected components.
+    Returns:
+      (labels [n] int32 cluster ids (pre-background-swap),
+       counts [m] float32 cluster-id histogram over the n pixels).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, d = x.shape
+    m = seeds.shape[0]
+    m_pad = _round_up(max(m, 8), 128)
+    tile_n = min(tile_n, _round_up(n, 128))
+    n_pad = _round_up(n, tile_n)
+    d_sub = _round_up(d, 8)
+
+    xt = jnp.zeros((d_sub, n_pad), dtype=x.dtype).at[:d, :n].set(x.T)
+    zp = jnp.zeros((m_pad, d_sub), jnp.float32).at[:m, :d].set(
+        seeds.astype(jnp.float32))
+    slab = jnp.zeros((1, m_pad), jnp.int32).at[0, :m].set(
+        seed_labels.astype(jnp.int32))
+    n_tiles = n_pad // tile_n
+
+    labels, counts = pl.pallas_call(
+        functools.partial(_assign_kernel, m=m, n=n, n_tiles=n_tiles),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((d_sub, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, d_sub), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 128), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((m_pad, 128), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((m_pad, 128), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * m_pad * d_sub + 2 * n_pad * m_pad,
+            bytes_accessed=n_pad * d_sub * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xt, zp, slab)
+    return labels[0, :n], counts[:m, 0]
