@@ -16,120 +16,15 @@ torch = pytest.importorskip("torch")
 import torch.nn as tnn
 import torch.nn.functional as tF
 
+from torch_twin import (TorchBasicBlock, TorchResNet8s, TorchSegnetAdd,
+                        TorchTower, _randomize_bn_stats, conv3x3)
+
 import jax.numpy as jnp
 
 from unseenobjectclustering_tpu.config import Config
 from unseenobjectclustering_tpu.models import get_network
 from unseenobjectclustering_tpu.utils.checkpoint import (
     convert_torch_checkpoint, normalize_torch_keys)
-
-
-# ---------------------------------------------------------------------------
-# torch twin of the reference topology
-# ---------------------------------------------------------------------------
-
-def conv3x3(inp, out, stride=1, dilation=1):
-    k_up = (3 - 1) * (dilation - 1) + 3
-    pad = (k_up - 1) // 2
-    return tnn.Conv2d(inp, out, 3, stride, pad, dilation=dilation, bias=False)
-
-
-class TorchBasicBlock(tnn.Module):
-    def __init__(self, inplanes, planes, stride=1, dilation=1,
-                 downsample=None):
-        super().__init__()
-        self.conv1 = conv3x3(inplanes, planes, stride, dilation)
-        self.bn1 = tnn.BatchNorm2d(planes)
-        self.conv2 = conv3x3(planes, planes, 1, dilation)
-        self.bn2 = tnn.BatchNorm2d(planes)
-        self.downsample = downsample
-
-    def forward(self, x):
-        res = x
-        out = tF.relu(self.bn1(self.conv1(x)))
-        out = self.bn2(self.conv2(out))
-        if self.downsample is not None:
-            res = self.downsample(x)
-        return tF.relu(out + res)
-
-
-class TorchResNet8s(tnn.Module):
-    """Dilated ResNet-34 trunk, output-stride 8, 1x1 fc, x8 upsample."""
-
-    def __init__(self, layers=(3, 4, 6, 3), num_units=64, in_ch=3,
-                 output_stride=8):
-        super().__init__()
-        self.conv1 = tnn.Conv2d(in_ch, 64, 7, 2, 3, bias=False)
-        self.bn1 = tnn.BatchNorm2d(64)
-        self.maxpool = tnn.MaxPool2d(3, 2, 1)
-        self.inplanes = 64
-        self.current_stride = 4
-        self.current_dilation = 1
-        self.output_stride = output_stride
-        self.layer1 = self._make_layer(64, layers[0], stride=1)
-        self.layer2 = self._make_layer(128, layers[1], stride=2)
-        self.layer3 = self._make_layer(256, layers[2], stride=2)
-        self.layer4 = self._make_layer(512, layers[3], stride=2)
-        self.fc = tnn.Conv2d(512, num_units, 1)
-
-    def _make_layer(self, planes, blocks, stride):
-        downsample = None
-        if stride != 1 or self.inplanes != planes:
-            if self.current_stride == self.output_stride:
-                self.current_dilation *= stride
-                stride = 1
-            else:
-                self.current_stride *= stride
-            downsample = tnn.Sequential(
-                tnn.Conv2d(self.inplanes, planes, 1, stride, bias=False),
-                tnn.BatchNorm2d(planes))
-        layers = [TorchBasicBlock(self.inplanes, planes, stride,
-                                  self.current_dilation, downsample)]
-        self.inplanes = planes
-        for _ in range(1, blocks):
-            layers.append(TorchBasicBlock(planes, planes, 1,
-                                          self.current_dilation))
-        return tnn.Sequential(*layers)
-
-    def forward(self, x):
-        size = x.shape[2:]
-        x = self.maxpool(tF.relu(self.bn1(self.conv1(x))))
-        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
-        x = self.fc(x)
-        return tF.interpolate(x, size=size, mode="bilinear",
-                              align_corners=True)
-
-
-class TorchTower(tnn.Module):
-    def __init__(self, **kw):
-        super().__init__()
-        self.resnet34_8s = TorchResNet8s(**kw)
-
-    def forward(self, x):
-        return self.resnet34_8s(x)
-
-
-class TorchSegnetAdd(tnn.Module):
-    """RGBD 'add' fusion + L2 normalize (SEG.py:105-114 semantics)."""
-
-    def __init__(self, **kw):
-        super().__init__()
-        self.fcn = TorchTower(**kw)
-        self.fcn_depth = TorchTower(**kw)
-
-    def forward(self, img, depth):
-        f = self.fcn(img) + self.fcn_depth(depth)
-        return tF.normalize(f, p=2, dim=1)
-
-
-def _randomize_bn_stats(model, rng):
-    """Non-trivial running stats so mean/var mapping is actually exercised."""
-    for m in model.modules():
-        if isinstance(m, tnn.BatchNorm2d):
-            m.running_mean.copy_(torch.tensor(
-                rng.randn(m.num_features).astype(np.float32) * 0.1))
-            m.running_var.copy_(torch.tensor(
-                0.5 + rng.rand(m.num_features).astype(np.float32)))
 
 
 # ---------------------------------------------------------------------------
@@ -205,3 +100,107 @@ def test_converter_rejects_missing_keys():
     init_vars = model.init(jax.random.PRNGKey(0), img, None, train=False)
     with pytest.raises(KeyError):
         convert_torch_checkpoint({}, expected=init_vars)
+
+
+def _torchvision_like_state_dict(rng):
+    """A raw torchvision-resnet-shaped dict (bare trunk + Linear fc) built
+    from the twin's trunk — torchvision itself is not in this container.
+    Shapes match the real resnet34 family exactly (dilation does not change
+    conv weight shapes)."""
+    trunk = TorchResNet8s(layers=(1, 1, 1, 1), num_units=8)
+    with torch.no_grad():
+        _randomize_bn_stats(trunk, rng)
+    sd = {k: v for k, v in trunk.state_dict().items()
+          if not k.startswith("fc.")}
+    sd["fc.weight"] = torch.tensor(rng.randn(1000, 512).astype(np.float32))
+    sd["fc.bias"] = torch.tensor(rng.randn(1000).astype(np.float32))
+    return trunk, sd
+
+
+def test_imagenet_partial_load_both_towers():
+    """EMBEDDING_PRETRAIN semantics (lib/networks/resnet.py:293-317): the
+    ImageNet trunk loads into BOTH towers by name+size; the fc head and
+    everything unmatched keep their init values."""
+    import jax
+
+    from unseenobjectclustering_tpu.utils.checkpoint import (
+        convert_imagenet_checkpoint)
+
+    rng = np.random.RandomState(3)
+    torch.manual_seed(3)
+    trunk, sd = _torchvision_like_state_dict(rng)
+
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from unseenobjectclustering_tpu.models.resnet import ResNetFCN
+
+    class TwoTower(nn.Module):
+        @nn.compact
+        def __call__(self, img, depth, *, train=False):
+            f1 = ResNetFCN(block="basic", layers=(1, 1, 1, 1), num_classes=8,
+                           output_stride=8, name="fcn")(img, train=train)
+            f2 = ResNetFCN(block="basic", layers=(1, 1, 1, 1), num_classes=8,
+                           output_stride=8, name="fcn_depth")(depth,
+                                                              train=train)
+            return f1 + f2
+
+    model = TwoTower()
+    z = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    init_vars = model.init(jax.random.PRNGKey(0), z, z, train=False)
+
+    variables = convert_imagenet_checkpoint(sd, expected=init_vars)
+
+    conv1_t = sd["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    for tower in ("fcn", "fcn_depth"):
+        np.testing.assert_array_equal(
+            variables["params"][tower]["conv1"]["kernel"], conv1_t)
+        np.testing.assert_array_equal(
+            variables["batch_stats"][tower]["bn1"]["mean"],
+            sd["bn1.running_mean"].numpy())
+        np.testing.assert_array_equal(
+            variables["params"][tower]["layer4_0"]["conv2"]["kernel"],
+            sd["layer4.0.conv2.weight"].numpy().transpose(2, 3, 1, 0))
+        # fc head must keep its init (torchvision Linear never matches)
+        np.testing.assert_array_equal(
+            variables["params"][tower]["fc"]["kernel"],
+            np.asarray(init_vars["params"][tower]["fc"]["kernel"]))
+
+
+def test_imagenet_partial_load_skips_early_fusion_conv1():
+    """With a 6-channel early-fusion tower, conv1 is skipped by size (the
+    reference's name+size filter) while the rest of the trunk loads."""
+    import jax
+
+    from unseenobjectclustering_tpu.utils.checkpoint import (
+        convert_imagenet_checkpoint)
+
+    rng = np.random.RandomState(4)
+    torch.manual_seed(4)
+    _, sd = _torchvision_like_state_dict(rng)
+
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from unseenobjectclustering_tpu.models.resnet import ResNetFCN
+
+    class EarlyFusion(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train=False):
+            return ResNetFCN(block="basic", layers=(1, 1, 1, 1),
+                             num_classes=8, output_stride=8,
+                             name="fcn")(x, train=train)
+
+    model = EarlyFusion()
+    z = jnp.zeros((1, 16, 16, 6), jnp.float32)
+    init_vars = model.init(jax.random.PRNGKey(0), z, train=False)
+
+    variables = convert_imagenet_checkpoint(sd, expected=init_vars)
+    # conv1 kept init (shape [7,7,6,64] vs ImageNet [7,7,3,64])
+    np.testing.assert_array_equal(
+        variables["params"]["fcn"]["conv1"]["kernel"],
+        np.asarray(init_vars["params"]["fcn"]["conv1"]["kernel"]))
+    # trunk still loaded
+    np.testing.assert_array_equal(
+        variables["params"]["fcn"]["layer2_0"]["conv1"]["kernel"],
+        sd["layer2.0.conv1.weight"].numpy().transpose(2, 3, 1, 0))

@@ -200,15 +200,86 @@ def _unflatten(flat: dict[tuple, Any]) -> dict:
     return tree
 
 
+def convert_imagenet_checkpoint(state_dict: Mapping[str, Any],
+                                expected: Any) -> dict:
+    """Partial-load a raw torchvision resnet34/50 ImageNet state_dict into
+    every backbone tower.
+
+    Replicates the reference's EMBEDDING_PRETRAIN initialization
+    (lib/networks/resnet.py:293-317 update_model + resnet_dilated.py:287-299):
+    each tower is built with `pretrained=True`, and `update_model` keeps the
+    keys that match the model by NAME and SIZE — so the trunk
+    (conv1/bn1/layer1..4) loads, the torchvision `fc` (a Linear) never
+    matches the 1x1 scoring conv, and with early fusion (6-channel input)
+    conv1 is skipped by size too.  Everything not loaded keeps its init
+    value from `expected`.
+
+    Args:
+      state_dict: raw torchvision resnet state_dict (keys like
+        'conv1.weight', 'layer1.0.conv1.weight', 'fc.weight').
+      expected: flax variables from model.init — REQUIRED, it supplies the
+        tower names and the init values for unloaded leaves.
+    Returns:
+      {'params': ..., 'batch_stats': ...} with ImageNet trunks in every
+      tower.
+    """
+    state_dict = normalize_torch_keys(state_dict)
+    flat_exp = _flatten(expected)
+    towers = sorted({path[1] for path in flat_exp
+                     if path[0] == "params" and path[1].startswith("fcn")})
+    if not towers:
+        raise KeyError("expected variables contain no backbone towers")
+
+    out = {path: np.asarray(leaf) for path, leaf in flat_exp.items()}
+    loaded, skipped = 0, []
+    for key, v in state_dict.items():
+        conv = _convert_resnet_param(key, _to_numpy(v))
+        if conv is None:
+            continue
+        coll, path, arr = conv
+        for tower in towers:
+            full = (coll, tower) + tuple(path)
+            exp_leaf = flat_exp.get(full)
+            if exp_leaf is None:
+                skipped.append("/".join(full))
+                continue
+            if tuple(np.shape(exp_leaf)) != tuple(arr.shape):
+                # name+size partial load: early-fusion conv1 / fc head
+                skipped.append("/".join(full))
+                continue
+            out[full] = arr
+            loaded += 1
+    if loaded == 0:
+        raise KeyError("no ImageNet parameters matched the model "
+                       f"(first skips: {skipped[:5]})")
+    return _unflatten(out)
+
+
+def _looks_like_torchvision(state_dict: Mapping[str, Any]) -> bool:
+    """Raw torchvision resnet dicts have a bare trunk and no tower prefix."""
+    keys = set(state_dict)
+    return ("conv1.weight" in keys
+            and not any(_TOWER_RE.match(k) for k in keys))
+
+
 def load_torch_checkpoint(path: str | os.PathLike,
                           expected: Optional[Any] = None) -> dict:
-    """Load a `.pth` release checkpoint and convert it (torch CPU)."""
+    """Load a `.pth` checkpoint and convert it (torch CPU).
+
+    Accepts both reference SEGNET release checkpoints and raw torchvision
+    ImageNet resnet34/50 state_dicts (auto-detected; the latter requires
+    `expected` and performs the EMBEDDING_PRETRAIN partial load)."""
     import torch
 
     data = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(data, dict) and "model" in data and isinstance(
             data["model"], dict):
         data = data["model"]  # tools/train_net.py:115-117
+    normalized = normalize_torch_keys(data)
+    if _looks_like_torchvision(normalized):
+        if expected is None:
+            raise ValueError("ImageNet checkpoints need `expected` variables")
+        return convert_imagenet_checkpoint(normalized, expected)
     return convert_torch_checkpoint(data, expected)
 
 
