@@ -193,6 +193,18 @@ def test_connected_components_matches_oracle(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_connected_components_pallas_matches_xla(rng):
+    from unseenobjectclustering_tpu.ops.pallas_mean_shift import (
+        connected_components_pallas)
+    x, _, centers = make_clustered_data(rng, n_per=30, d=16, k=4,
+                                        spread=0.02)
+    z = _unit(np.repeat(centers, 5, axis=0)
+              + 0.01 * rng.randn(20, 16)).astype(np.float32)
+    want = np.asarray(connected_components(jnp.asarray(z), 0.04))
+    got = np.asarray(connected_components_pallas(jnp.asarray(z), 0.04))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_assignment_and_background_swap(rng):
     x, gt, centers = make_clustered_data(rng, n_per=100, d=8, spread=0.02)
     seeds = jnp.asarray(_unit(centers).astype(np.float32))

@@ -39,3 +39,38 @@ def test_pallas_seeding_covers_clusters():
                                  jnp.int32(0))
     seeded_clusters = set(assign[np.asarray(idx)])
     assert seeded_clusters == set(range(5))
+
+
+def test_seeding_under_map_and_cond(rng):
+    """The crop path runs the kernel inside lax.map + lax.cond; keep that
+    composition working (it exposed Mosaic lowering limits: scalar/dynamic
+    lane stores and value dynamic_slice have no TPU lowering — the kernel
+    now uses ref reads + masked-select accumulation)."""
+    import jax
+
+    from unseenobjectclustering_tpu.ops.mean_shift import select_smart_seeds
+
+    x = rng.randn(4, 300, 16).astype(np.float32)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    xj = jnp.asarray(x)
+    valid = jnp.asarray([True, True, False, True])
+
+    @jax.jit
+    def f(xj, valid):
+        def one(args):
+            xi, ok = args
+            def run(_):
+                _, idxs = select_seeds_pallas(xi, 8, jnp.int32(3))
+                return idxs
+            return jax.lax.cond(ok, run,
+                                lambda _: jnp.zeros((8,), jnp.int32), None)
+        return jax.lax.map(one, (xj, valid))
+
+    got = np.asarray(f(xj, valid))
+    for i, ok in enumerate([True, True, False, True]):
+        if not ok:
+            assert (got[i] == 0).all()
+            continue
+        _, want = select_smart_seeds(xj[i], 8, jax.random.key(0), "cosine",
+                                     jnp.int32(3))
+        np.testing.assert_array_equal(got[i], np.asarray(want))

@@ -136,7 +136,13 @@ class Segmentor:
             threshold=(-1.0 if depth_threshold is None
                        else float(depth_threshold))))
         self._stage2 = jax.jit(self._stage2_impl,
-                               static_argnames=("has_depth",))
+                               static_argnames=("has_depth",
+                                                "max_instances"))
+        # stage-2 crop batches compile per bucket: a frame with 5 instances
+        # runs the zoom-in network on 8 padded crops, not MAX_INSTANCES=32
+        # (the conv forward dominates stage 2 and scales with the padding)
+        self._buckets = sorted({b for b in (8, 16, self.max_instances)
+                                if b <= self.max_instances})
 
     # -- compiled graphs -----------------------------------------------------
 
@@ -202,7 +208,7 @@ class Segmentor:
         return np.asarray(labels, dtype=np.int32)
 
     def _stage2_impl(self, variables_crop, img, labels, xyz, key,
-                     *, has_depth: bool):
+                     *, has_depth: bool, max_instances: Optional[int] = None):
         """Per image: RoI crops -> zoom-in forward -> per-crop clustering ->
         on-device veto + paste ordering.
 
@@ -210,15 +216,16 @@ class Segmentor:
         the host paste-back needs (int8 label crops, order keys, rois,
         valid) — the full float crop stack never leaves the device.
         """
+        max_instances = max_instances or self.max_instances
         crops = crop_rois(img, labels, xyz,
-                          max_instances=self.max_instances,
+                          max_instances=max_instances,
                           crop_size=self.crop_size)
         input_type = self.cfg.INPUT
         rgb_in = crops.rgb_crops if input_type != "DEPTH" else None
         xyz_in = crops.depth_crops if input_type != "COLOR" else None
         feats = self.model_crop.apply(variables_crop, rgb_in, xyz_in,
                                       train=False)
-        keys = jax.random.split(key, self.max_instances)
+        keys = jax.random.split(key, max_instances)
         labels_crop = _cluster_crops(feats, crops.valid, keys, **self._ms_kw)
         labels_veto, order_key = veto_and_order(
             labels_crop, crops.mask_crops,
@@ -293,9 +300,21 @@ class Segmentor:
                     xyz_d[i].shape, jnp.float32)
                 xyz_i = (xyz_d[i] if xyz_d is not None
                          else jnp.zeros(img_d[i].shape, jnp.float32))
+                # dense-remap instance ids first: after the depth filter the
+                # cluster ids can be sparse (e.g. {0, 2, 11}) while
+                # crop_rois scans ids 1..max_instances — the remap makes
+                # every instance reachable (the reference crops every
+                # unique id, test_dataset.py:68-70) and lets the smallest
+                # compiled bucket fit this frame's instance count
+                uniq = np.unique(labels_np[i])
+                dense = np.searchsorted(uniq, labels_np[i]).astype(np.int32)
+                k = int((uniq > 0).sum())
+                bucket = next((bk for bk in self._buckets if bk >= k),
+                              self.max_instances)
                 labels_veto, order_key, rois, valid = self._stage2(
-                    self.variables_crop, img_i, labels[i], xyz_i,
-                    self.next_key(), has_depth=xyz is not None)
+                    self.variables_crop, img_i, jnp.asarray(dense), xyz_i,
+                    self.next_key(), has_depth=xyz is not None,
+                    max_instances=bucket)
                 ref = paste_back(labels_np[i],
                                  np.asarray(labels_veto),
                                  np.asarray(order_key), np.asarray(rois),

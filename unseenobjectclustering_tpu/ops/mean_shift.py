@@ -340,9 +340,10 @@ def mean_shift_smart_init(x: jax.Array, key: jax.Array, *, kappa: float = 20.0,
                                                  first_index, seed_subsample)
     if metric == "cosine" and use_pallas:
         from unseenobjectclustering_tpu.ops.pallas_mean_shift import (
-            assign_labels_pallas, hill_climb_pallas)
+            assign_labels_pallas, connected_components_pallas,
+            hill_climb_pallas)
         z = hill_climb_pallas(xc, seeds, kappa=kappa, max_iters=max_iters)
-        seed_labels = connected_components(z, epsilon, metric)
+        seed_labels = connected_components_pallas(z, epsilon)
         # fused assignment + histogram (one X pass), then the
         # largest-cluster -> background relabel (mean_shift.py:217-227)
         labels, counts = assign_labels_pallas(xc, z, seed_labels)

@@ -140,6 +140,96 @@ def hill_climb_pallas(x: jax.Array, z0: jax.Array, *, kappa: float = 20.0,
     return out[:m, :d]
 
 
+def _cc_kernel(z_ref, out_ref, adj_ref, *, m: int, epsilon: float):
+    """Sequential seed merging (mean_shift.py:41-76) entirely in VMEM.
+
+    The XLA fori_loop version spends ~15 us of dispatch per seed (~1.5 ms
+    for m=100); here the whole loop runs inside one kernel on [1, m_pad]
+    vectors and a VMEM-resident [m_pad, m_pad] adjacency.  Same algorithm,
+    same mode tie-breaking.  Pallas TPU constraints shape the code: no
+    scalar stores (vector selects only), dynamic row reads go through the
+    adjacency SCRATCH REF (dynamic_slice of a value has no lowering), and
+    the per-iteration row->column transpose of the label vector is an
+    identity matmul on the MXU.
+    """
+    mp = adj_ref.shape[1]
+    z = z_ref[:].astype(jnp.float32)                 # [m_pad, d]
+    sim = jax.lax.dot_general(z, z,
+                              dimension_numbers=(((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dist = 0.5 * (1.0 - sim)                         # [m_pad, m_pad]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, mp), 1)
+    real = col < m                                   # padded seeds ignored
+    adj_ref[:] = ((dist <= epsilon) & real).astype(jnp.float32)
+
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 0)
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 1)
+    identity = (row2 == col2).astype(jnp.float32)
+    colf = col.astype(jnp.float32)
+
+    labels0 = jnp.where(real, -1, -2)                # [1, m_pad]
+
+    def body(i, carry):
+        labels, k = carry
+        li = jnp.sum(jnp.where(col == i, labels, 0))
+        do = li == -1
+        neigh = adj_ref[pl.ds(i, 1), :] > 0.0        # [1, m_pad]
+        labeled_neigh = neigh & (labels >= 0)
+        has_labeled = jnp.any(labeled_neigh)
+        # mode of labels among labeled neighbors, smallest label on ties
+        # (get_label_mode, mean_shift.py:30-38): counts[j] = sum_s
+        # labeled_neigh[s] * (labels[s] == j).  labels_col = I @ labels^T
+        # (identity matmul = transpose the MXU supports).
+        labels_f = labels.astype(jnp.float32)
+        labels_col = jax.lax.dot_general(
+            identity, labels_f,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [m_pad, 1]
+        eq = (labels_col == colf).astype(jnp.float32)   # [m_pad, m_pad]
+        counts = jax.lax.dot_general(
+            labeled_neigh.astype(jnp.float32), eq,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [1, m_pad]
+        mode = jnp.argmax(counts, axis=1)[0].astype(jnp.int32)
+        new_label = jnp.where(has_labeled, mode, k)
+        labels = jnp.where((neigh & do), new_label, labels)
+        k = k + jnp.where(do & ~has_labeled, 1, 0)
+        return labels, k
+
+    labels, _ = jax.lax.fori_loop(0, m, body, (labels0, jnp.int32(0)))
+    out_ref[:] = labels
+
+
+@functools.partial(jax.jit, static_argnames=("epsilon", "interpret"))
+def connected_components_pallas(z: jax.Array, epsilon: float,
+                                interpret: bool | None = None) -> jax.Array:
+    """Fused connected components over converged seeds (cosine metric).
+
+    Exact semantics of ops.mean_shift.connected_components (which holds the
+    oracle parity); this version runs the m sequential steps inside one
+    pallas_call.  Returns [m] int32 labels.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m, d = z.shape
+    m_pad = _round_up(max(m, 8), 128)
+    d_sub = _round_up(d, 8)
+    zp = jnp.zeros((m_pad, d_sub), jnp.float32).at[:m, :d].set(
+        z.astype(jnp.float32))
+    out = pl.pallas_call(
+        functools.partial(_cc_kernel, m=m, epsilon=float(epsilon)),
+        grid=(1,),
+        in_specs=[pl.BlockSpec((m_pad, d_sub), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, m_pad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, m_pad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((m_pad, m_pad), jnp.float32)],
+        interpret=interpret,
+    )(zp)
+    return out[0, :m]
+
+
 def _assign_kernel(xt_ref, z_ref, slab_ref, lab_ref, cnt_ref, cnt_acc, *,
                    m: int, n: int, n_tiles: int):
     j = pl.program_id(0)

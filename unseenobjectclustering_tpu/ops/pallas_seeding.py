@@ -41,26 +41,40 @@ def _seeding_kernel(x_ref, first_ref, idx_ref, min_dist, *, num_seeds: int,
     pad_mask = (col >= n)  # padded pixels must never win the argmax
 
     def dist_to(i):
-        # cosine distance of every pixel to pixel i: 0.5 * (1 - X @ x_i)
-        xi = jax.lax.dynamic_slice(x, (i, 0), (1, x.shape[1]))  # [1, d]
+        # cosine distance of every pixel to pixel i: 0.5 * (1 - X @ x_i).
+        # Row i is extracted with a one-hot matvec on the MXU: value
+        # dynamic_slice has no Pallas lowering and dynamic sublane reads
+        # can't be proven tile-aligned for bf16 (16-sublane tiles).
+        sel_hot = (col == i).astype(x.dtype)                    # [1, n_pad]
+        xi = jax.lax.dot_general(
+            sel_hot, x, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # [1, d]
         sim = jax.lax.dot_general(
-            xi, x, dimension_numbers=(((1,), (1,)), ((), ())),
+            xi.astype(x.dtype), x,
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                 # [1, n_pad]
         return 0.5 * (1.0 - sim)
 
     first = first_ref[0, 0]
-    idx_ref[0, 0] = first
     min_dist[0:1, :] = jnp.where(pad_mask, -jnp.inf, dist_to(first))
 
-    def body(k, _):
+    # the selected indices accumulate in a loop-carried [1, m_pad] vector
+    # via masked selects: Mosaic rejects scalar stores to VMEM and dynamic
+    # lane-dimension stores, so the whole row is written once at the end
+    m_pad = idx_ref.shape[1]
+    seed_col = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1)
+    idx0 = jnp.where(seed_col == 0, first, -1)
+
+    def body(k, idx_row):
         sel = jnp.argmax(min_dist[0:1, :], axis=1)[0].astype(jnp.int32)
-        idx_ref[0, k] = sel
+        idx_row = jnp.where(seed_col == k, sel, idx_row)
         d = jnp.where(pad_mask, -jnp.inf,
                       jnp.minimum(min_dist[0:1, :], dist_to(sel)))
         min_dist[0:1, :] = d
-        return 0
+        return idx_row
 
-    jax.lax.fori_loop(1, num_seeds, body, 0)
+    idx_row = jax.lax.fori_loop(1, num_seeds, body, idx0)
+    idx_ref[0:1, :] = idx_row
 
 
 @functools.partial(jax.jit, static_argnames=("num_seeds", "interpret"))
