@@ -11,9 +11,11 @@ Semantics parity with the reference (lib/utils/mean_shift.py:128-189) and
 with select_smart_seeds: cosine distance 0.5 * (1 - X . seed), argmax of the
 min-distance vector picks each next seed.
 
-VMEM budget: X [n, d] must fit (~2.4 MB for n = 19200 bf16 at the default
-stride-4 subsample of 640x480; the full-resolution 307k x 64 case does NOT
-fit and falls back to the XLA path).
+VMEM budget: X [n, d] must fit with d lane-padded to 128 (~6.4 MB for the
+224^2 zoom-in crops in bf16 — the kernel's main production user; the
+stride-4 640x480 case in bf16 and every full-resolution case exceed the
+budget and route to the exact lazy-bound blocked selection in
+ops/mean_shift.py instead).
 """
 
 from __future__ import annotations
