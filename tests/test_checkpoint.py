@@ -204,3 +204,49 @@ def test_imagenet_partial_load_skips_early_fusion_conv1():
     np.testing.assert_array_equal(
         variables["params"]["fcn"]["layer2_0"]["conv1"]["kernel"],
         sd["layer2.0.conv1.weight"].numpy().transpose(2, 3, 1, 0))
+
+
+def test_export_roundtrip():
+    """export_torch_state_dict is the exact inverse of
+    convert_torch_checkpoint: flax -> torch keys -> flax is bit-identical,
+    and the exported dict loads into the torch twin."""
+    import jax
+
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from unseenobjectclustering_tpu.models.resnet import ResNetFCN
+    from unseenobjectclustering_tpu.utils.checkpoint import (
+        convert_torch_checkpoint, export_torch_state_dict)
+
+    class TwoTower(nn.Module):
+        @nn.compact
+        def __call__(self, img, depth, *, train=False):
+            f1 = ResNetFCN(block="basic", layers=(1, 1, 1, 1), num_classes=8,
+                           output_stride=8, name="fcn")(img, train=train)
+            f2 = ResNetFCN(block="basic", layers=(1, 1, 1, 1), num_classes=8,
+                           output_stride=8, name="fcn_depth")(depth,
+                                                              train=train)
+            return f1 + f2
+
+    model = TwoTower()
+    z = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), z, z, train=False)
+
+    sd = export_torch_state_dict(variables)
+    back = convert_torch_checkpoint(sd, expected=variables)
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    import numpy as np
+    for path, leaf in flat_a:
+        node = back
+        for p in path:
+            node = node[p.key]
+        np.testing.assert_array_equal(np.asarray(leaf), node)
+
+    # loads into the torch twin (same topology) without missing keys
+    twin = TorchSegnetAdd(layers=(1, 1, 1, 1), num_units=8)
+    tensors = {k: torch.tensor(v) for k, v in sd.items()}
+    missing, unexpected = twin.load_state_dict(tensors, strict=False)
+    assert not unexpected, unexpected
+    # only num_batches_tracked buffers may be missing
+    assert all("num_batches_tracked" in k for k in missing), missing

@@ -40,6 +40,12 @@ def main():
     p.add_argument("--num-units", type=int, default=64)
     p.add_argument("--crop-size", type=int, default=224)
     p.add_argument("--out", default="docs/PARITY_RUN.md")
+    p.add_argument("--pretrained", default=None,
+                   help="orbax checkpoint dir or .pth: run the comparison "
+                        "on trained weights (exported to the torch twin via "
+                        "export_torch_state_dict) instead of random init — "
+                        "random full-size weights collapse to one cluster, "
+                        "making the metric comparison vacuous")
     args = p.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -76,7 +82,6 @@ def main():
     with torch.no_grad():
         _randomize_bn_stats(twin, rng)
     twin.eval()
-    sd = {"module." + k: v for k, v in twin.state_dict().items()}
 
     cfg = Config.from_dict({"INPUT": "RGBD", "MODE": "TEST",
                             "TRAIN": {"NUM_UNITS": po.NUM_UNITS}})
@@ -84,8 +89,25 @@ def main():
                          num_units=po.NUM_UNITS)
     z = jnp.zeros((1, po.H, po.W, 3), jnp.float32)
     init_vars = fmodel.init(jax.random.key(0), z, z, train=False)
-    variables = convert_torch_checkpoint(sd, expected=init_vars)
-    print("weights converted", flush=True)
+
+    if args.pretrained:
+        from unseenobjectclustering_tpu.engine.builder import (
+            load_network_variables)
+        from unseenobjectclustering_tpu.utils.checkpoint import (
+            export_torch_state_dict)
+        variables = load_network_variables(cfg, "seg_resnet34_8s_embedding",
+                                           args.pretrained, po.H, po.W,
+                                           num_units=po.NUM_UNITS)
+        sd = {k: torch.tensor(np.asarray(v)) for k, v in
+              export_torch_state_dict(variables).items()}
+        missing, unexpected = twin.load_state_dict(sd, strict=False)
+        assert not unexpected, unexpected
+        assert all("num_batches_tracked" in k for k in missing), missing
+        print("trained weights exported into the torch twin", flush=True)
+    else:
+        sd = {"module." + k: v for k, v in twin.state_dict().items()}
+        variables = convert_torch_checkpoint(sd, expected=init_vars)
+        print("random twin weights converted", flush=True)
 
     ds = SyntheticTabletopDataset("test", cfg, height=po.H, width=po.W,
                                   size=args.scenes)

@@ -255,6 +255,49 @@ def convert_imagenet_checkpoint(state_dict: Mapping[str, Any],
     return _unflatten(out)
 
 
+def export_torch_state_dict(variables: Mapping[str, Any],
+                            arch: str = "resnet34_8s") -> dict[str, Any]:
+    """Export flax variables to a reference-layout torch state_dict
+    (the exact inverse of convert_torch_checkpoint): keys like
+    `fcn.resnet34_8s.layer2.1.conv1.weight`, kernels transposed back to
+    [out, in, kh, kw], BN stats to running_mean/running_var.
+
+    Lets models trained in this framework be consumed by the reference
+    ecosystem (torch .pth checkpoints, lib/networks/SEG.py update_model) and
+    powers the trained-weight cross-stack parity oracle
+    (tools/parity_oracle.py).  Values are numpy arrays — call
+    torch.tensor() downstream if needed.
+    """
+    out: dict[str, Any] = {}
+    for path, leaf in _flatten(variables).items():
+        coll, tower, rest = path[0], path[1], list(path[2:])
+        arr = np.asarray(leaf)
+        m = re.match(r"^layer(\d)_(\d+)$", rest[0]) if rest else None
+        if m:
+            mod = f"layer{m.group(1)}.{m.group(2)}"
+            rest = rest[1:]
+        else:
+            mod = ""
+        sub = rest[:-1]
+        leaf_name = rest[-1]
+        sub = [s.replace("downsample_conv", "downsample.0")
+               .replace("downsample_bn", "downsample.1") for s in sub]
+        prefix = ".".join(p for p in ([tower, arch, mod] + sub) if p)
+        if coll == "batch_stats":
+            name = {"mean": "running_mean", "var": "running_var"}[leaf_name]
+            out[f"{prefix}.{name}"] = arr
+        elif leaf_name == "scale":
+            out[f"{prefix}.weight"] = arr
+        elif leaf_name == "kernel":
+            if arr.ndim == 4:  # [kh,kw,in,out] -> [out,in,kh,kw]
+                out[f"{prefix}.weight"] = arr.transpose(3, 2, 0, 1)
+            else:
+                out[f"{prefix}.weight"] = arr.T
+        else:  # bias
+            out[f"{prefix}.{leaf_name}"] = arr
+    return out
+
+
 def _looks_like_torchvision(state_dict: Mapping[str, Any]) -> bool:
     """Raw torchvision resnet dicts have a bare trunk and no tower prefix."""
     keys = set(state_dict)
