@@ -50,6 +50,13 @@ def parse_args():
                         help="run the augmentation stack on-device fused "
                              "into the train step (synthetic datasets only; "
                              "the loader emits raw cached scenes)")
+    parser.add_argument("--device-resident", action="store_true",
+                        help="upload the whole render cache to HBM once and "
+                             "train from device-resident scenes (implies "
+                             "--device-augment; avoids per-step host->device "
+                             "streaming entirely)")
+    parser.add_argument("--resident-limit", type=int, default=None,
+                        help="cap on resident scenes (HBM budget)")
     parser.add_argument("--render-cache", type=str, default=None,
                         help="on-disk scene cache dir for the procedural "
                              "renderer (see tools/render_dataset.py)")
@@ -86,6 +93,8 @@ def main():
         assert hasattr(dataset, "cache_dir"), (
             f"{args.dataset_name} has no render cache")
         dataset.cache_dir = args.render_cache
+    if args.device_resident:
+        args.device_augment = True
     if args.device_augment:
         assert hasattr(dataset, "raw"), (
             f"{args.dataset_name} has no raw mode (synthetic datasets only)")
@@ -138,10 +147,29 @@ def main():
         intrinsics = (dataset.f, dataset.f, dataset.cx, dataset.cy)
 
     print(f"=> training on {n_dev} device(s): {mesh}")
-    train_epochs(cfg, state, loader, epochs=args.epochs,
-                 start_epoch=args.startepoch, solver=args.solver,
-                 output_dir=output_dir, mesh=mesh, max_k=args.max_k,
-                 intrinsics=intrinsics, seed=int(cfg.RNG_SEED))
+    if args.device_resident:
+        import os
+
+        from unseenobjectclustering_tpu.data.resident import (
+            load_resident_scenes)
+        from unseenobjectclustering_tpu.engine.train import (
+            train_epochs_resident)
+        scene_dir = os.path.dirname(dataset._scene_path(0))
+        scenes = load_resident_scenes(
+            scene_dir, limit=args.resident_limit or len(dataset), mesh=mesh)
+        n_res = int(scenes[0].shape[0])
+        gb = sum(x.size * x.dtype.itemsize for x in scenes) / 2 ** 30
+        print(f"=> device-resident: {n_res} scenes ({gb:.1f} GiB) in HBM")
+        train_epochs_resident(cfg, state, scenes, epochs=args.epochs,
+                              batch_size=batch, start_epoch=args.startepoch,
+                              solver=args.solver, output_dir=output_dir,
+                              mesh=mesh, max_k=args.max_k,
+                              intrinsics=intrinsics, seed=int(cfg.RNG_SEED))
+    else:
+        train_epochs(cfg, state, loader, epochs=args.epochs,
+                     start_epoch=args.startepoch, solver=args.solver,
+                     output_dir=output_dir, mesh=mesh, max_k=args.max_k,
+                     intrinsics=intrinsics, seed=int(cfg.RNG_SEED))
 
 
 if __name__ == "__main__":

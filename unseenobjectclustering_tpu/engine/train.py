@@ -30,6 +30,7 @@ from typing import Any, Callable, Optional, Sequence
 import flax
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from unseenobjectclustering_tpu.config import Config
@@ -261,6 +262,100 @@ def make_train_step(cfg: Config, max_k: int = 32):
         return train_step(state, img, xyz, label, **kw)
 
     return step
+
+
+def make_train_step_resident(cfg: Config, *, fx: float, fy: float,
+                             px: float, py: float, max_k: int = 32):
+    """Fused gather + augmentation + optimization step for a DEVICE-RESIDENT
+    dataset (data.resident.load_resident_scenes).
+
+    step(state, bgr_all [N,H,W,3] u8, depth_all [N,H,W] u16,
+         label_all [N,H,W] u8, idx [B] i32, key) -> (new_state, metrics)
+
+    The scene tensors live in HBM for the whole run; each step's host->device
+    traffic is just `idx` + `key` (~100 B), versus ~16.5 MB/step for host
+    streaming — which both leaks host RSS through the experimental tunnel
+    client and pays its ~85 ms dispatch latency.  Given identical gathered
+    batches and keys this is bit-identical to make_train_step_raw (tested).
+    """
+    from unseenobjectclustering_tpu.ops.train_pipeline import (
+        make_device_augment)
+
+    augment = make_device_augment(cfg, fx=fx, fy=fy, px=px, py=py)
+    kw = dict(alpha=float(cfg.TRAIN.EMBEDDING_ALPHA),
+              delta=float(cfg.TRAIN.EMBEDDING_DELTA),
+              lambda_intra=float(cfg.TRAIN.EMBEDDING_LAMBDA_INTRA),
+              lambda_inter=float(cfg.TRAIN.EMBEDDING_LAMBDA_INTER),
+              max_k=max_k, metric=str(cfg.TRAIN.EMBEDDING_METRIC))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, bgr_all, depth_all, label_all, idx, key):
+        bgr = jnp.take(bgr_all, idx, axis=0)
+        depth_mm = jnp.take(depth_all, idx, axis=0)
+        label_u8 = jnp.take(label_all, idx, axis=0)
+        img, xyz, label = augment(bgr, depth_mm, label_u8, key)
+        return _train_step_body(state, img, xyz, label, **kw)
+
+    return step
+
+
+def train_epochs_resident(cfg: Config, state: TrainState, scenes, *,
+                          epochs: int, batch_size: int, start_epoch: int = 0,
+                          solver: str = "adam",
+                          output_dir: Optional[str] = None, mesh=None,
+                          max_k: int = 32, log_every: int = 20,
+                          snapshot_epochs: Optional[int] = None,
+                          intrinsics: tuple = None,
+                          seed: int = 3) -> TrainState:
+    """Epoch loop over a device-resident dataset.
+
+    Scene order and augmentation streams match train_epochs + DataLoader
+    exactly: indices are shuffled with RandomState(seed + epoch) and the
+    per-step key is PRNGKey(f(seed, epoch, i)) — so a streaming run can be
+    resumed resident (and vice versa) without a data-order discontinuity.
+    """
+    import time as _time
+
+    from unseenobjectclustering_tpu.parallel import shard_batch
+
+    bgr_all, depth_all, label_all = scenes
+    n = int(bgr_all.shape[0])
+    steps = n // batch_size
+    fx, fy, px, py = intrinsics
+    step_fn = make_train_step_resident(cfg, fx=fx, fy=fy, px=px, py=py,
+                                       max_k=max_k)
+    _, schedule = make_optimizer(cfg, solver, max(steps, 1), start_epoch)
+    snapshot_epochs = snapshot_epochs or int(cfg.TRAIN.SNAPSHOT_EPOCHS)
+
+    for epoch in range(start_epoch, epochs):
+        order = np.arange(n)
+        np.random.RandomState(seed + epoch).shuffle(order)
+        t_last = _time.time()
+        for i in range(steps):
+            idx = order[i * batch_size:(i + 1) * batch_size].astype(np.int32)
+            if mesh is not None:
+                idx = shard_batch(idx, mesh)
+            key = jax.random.PRNGKey(
+                (seed * 1_000_003 + epoch * 97_003 + i) % (2 ** 31 - 1))
+            state, metrics = step_fn(state, bgr_all, depth_all, label_all,
+                                     idx, key)
+            if i % log_every == 0:
+                loss = float(metrics["loss"])   # host fetch = device sync
+                lr = float(schedule(int(state.step)))
+                dt = _time.time() - t_last
+                t_last = _time.time()
+                print("[%d/%d][%d/%d], loss %.4f, loss intra: %.4f, "
+                      "loss_inter %.4f, lr %.6f, time %.2f"
+                      % (epoch, epochs, i, steps, loss,
+                         float(metrics["intra"]), float(metrics["inter"]),
+                         lr, dt), flush=True)
+        if output_dir and ((epoch + 1) % snapshot_epochs == 0
+                           or epoch == epochs - 1):
+            from unseenobjectclustering_tpu.utils.checkpoint import (
+                save_checkpoint)
+            path = save_checkpoint(output_dir, epoch + 1, state)
+            print(f"snapshot: {path}", flush=True)
+    return state
 
 
 def make_train_step_raw(cfg: Config, *, fx: float, fy: float, px: float,
