@@ -98,9 +98,10 @@ def main():
     if args.device_augment:
         assert hasattr(dataset, "raw"), (
             f"{args.dataset_name} has no raw mode (synthetic datasets only)")
-        assert not cfg.TRAIN.SYN_CROP, (
+        assert args.device_resident or not cfg.TRAIN.SYN_CROP, (
             "--device-augment covers the full-image path; crop training "
-            "keeps the host pipeline")
+            "needs --device-resident (make_device_augment_crop) or the "
+            "host pipeline")
         dataset.raw = True
     output_dir = get_output_dir(cfg, dataset.name)
     print(f"Output will be saved to `{output_dir}`")
@@ -164,7 +165,8 @@ def main():
                               batch_size=batch, start_epoch=args.startepoch,
                               solver=args.solver, output_dir=output_dir,
                               mesh=mesh, max_k=args.max_k,
-                              intrinsics=intrinsics, seed=int(cfg.RNG_SEED))
+                              intrinsics=intrinsics, seed=int(cfg.RNG_SEED),
+                              crop=bool(cfg.TRAIN.SYN_CROP))
     else:
         train_epochs(cfg, state, loader, epochs=args.epochs,
                      start_epoch=args.startepoch, solver=args.solver,

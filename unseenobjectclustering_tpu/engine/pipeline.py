@@ -153,11 +153,12 @@ class Segmentor:
 
     # -- compiled graphs -----------------------------------------------------
 
-    def _stage1_impl(self, variables, img, xyz, keys, *, threshold: float):
+    def _stage1_impl(self, variables, img, xyz, keys, *, threshold: float,
+                     ms_kw: Optional[dict] = None):
         """img/xyz: [B, H, W, 3], keys: [B] -> (features [B,H,W,C],
         labels [B,H,W])."""
         features = self.model.apply(variables, img, xyz, train=False)
-        labels = _cluster_batch(features, keys, **self._ms_kw)
+        labels = _cluster_batch(features, keys, **(ms_kw or self._ms_kw))
         if xyz is not None and threshold > 0:
             # labels range over cluster ids, bounded by the seed count
             # (NOT by MAX_INSTANCES, which only pads the zoom-in stage)
@@ -195,6 +196,36 @@ class Segmentor:
         except TypeError:  # older jax spells it check_rep
             sharded = shard_map(local, mesh=mesh, check_rep=False, **specs)
         return jax.jit(sharded)
+
+    def make_spatial_stage1(self, mesh, axis_name: str = "data"):
+        """SINGLE-FRAME latency scaling: shard the width axis of one frame
+        across the mesh and let XLA's SPMD partitioner compile the program
+        multi-chip — halo exchanges for the convolutions, all-gathers/psums
+        for the global clustering reductions — with no manual communication
+        code.  This is a capability the reference has no analogue for:
+        torch.nn.DataParallel (its only parallelism) cannot split one image.
+
+        Numerics match the single-device program exactly (SPMD partitioning
+        is semantics-preserving).  The clustering runs the pure-XLA path:
+        Pallas kernels are written against a single chip's VMEM and do not
+        auto-partition.
+
+        Returns fn(variables, img [B,H,W,3], xyz, keys [B]) -> (features,
+        labels), with W divisible by the mesh size.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        threshold = (-1.0 if self.depth_threshold is None
+                     else float(self.depth_threshold))
+        ms_kw = dict(self._ms_kw, use_pallas=False)
+        local = functools.partial(self._stage1_impl, threshold=threshold,
+                                  ms_kw=ms_kw)
+        col = NamedSharding(mesh, P(None, None, axis_name))      # [B, H, W]
+        col4 = NamedSharding(mesh, P(None, None, axis_name, None))
+        rep = NamedSharding(mesh, P())
+        return jax.jit(local,
+                       in_shardings=(rep, col4, col4, rep),
+                       out_shardings=(col4, col))
 
     def segment_sharded(self, mesh, image: Optional[np.ndarray],
                         xyz: Optional[np.ndarray]) -> np.ndarray:

@@ -265,7 +265,8 @@ def make_train_step(cfg: Config, max_k: int = 32):
 
 
 def make_train_step_resident(cfg: Config, *, fx: float, fy: float,
-                             px: float, py: float, max_k: int = 32):
+                             px: float, py: float, max_k: int = 32,
+                             crop: bool = False):
     """Fused gather + augmentation + optimization step for a DEVICE-RESIDENT
     dataset (data.resident.load_resident_scenes).
 
@@ -277,11 +278,16 @@ def make_train_step_resident(cfg: Config, *, fx: float, fy: float,
     streaming — which both leaks host RSS through the experimental tunnel
     client and pays its ~85 ms dispatch latency.  Given identical gathered
     batches and keys this is bit-identical to make_train_step_raw (tested).
+
+    crop=True runs the object-centric crop-training augmentation
+    (cfg.TRAIN.SYN_CROP; ops.train_pipeline.make_device_augment_crop) —
+    the zoom-in network's recipe — instead of the full-image stack.
     """
     from unseenobjectclustering_tpu.ops.train_pipeline import (
-        make_device_augment)
+        make_device_augment, make_device_augment_crop)
 
-    augment = make_device_augment(cfg, fx=fx, fy=fy, px=px, py=py)
+    build = make_device_augment_crop if crop else make_device_augment
+    augment = build(cfg, fx=fx, fy=fy, px=px, py=py)
     kw = dict(alpha=float(cfg.TRAIN.EMBEDDING_ALPHA),
               delta=float(cfg.TRAIN.EMBEDDING_DELTA),
               lambda_intra=float(cfg.TRAIN.EMBEDDING_LAMBDA_INTRA),
@@ -306,7 +312,7 @@ def train_epochs_resident(cfg: Config, state: TrainState, scenes, *,
                           max_k: int = 32, log_every: int = 20,
                           snapshot_epochs: Optional[int] = None,
                           intrinsics: tuple = None,
-                          seed: int = 3) -> TrainState:
+                          seed: int = 3, crop: bool = False) -> TrainState:
     """Epoch loop over a device-resident dataset.
 
     Scene order and augmentation streams match train_epochs + DataLoader
@@ -323,7 +329,7 @@ def train_epochs_resident(cfg: Config, state: TrainState, scenes, *,
     steps = n // batch_size
     fx, fy, px, py = intrinsics
     step_fn = make_train_step_resident(cfg, fx=fx, fy=fy, px=px, py=py,
-                                       max_k=max_k)
+                                       max_k=max_k, crop=crop)
     _, schedule = make_optimizer(cfg, solver, max(steps, 1), start_epoch)
     snapshot_epochs = snapshot_epochs or int(cfg.TRAIN.SNAPSHOT_EPOCHS)
 

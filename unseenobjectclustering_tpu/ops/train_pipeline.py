@@ -128,6 +128,172 @@ def sample_pixels_device(label: jax.Array, key: jax.Array,
     return jnp.where(keep, flat, -1).reshape(h, w).astype(jnp.int32)
 
 
+def _dense_relabel(label: jax.Array, max_id: int = 255) -> jax.Array:
+    """process_label on device: remap ids to {0..K-1} preserving order
+    (tabletop_object.py:158-172; datasets.process_label).
+
+    presence-rank instead of np.unique+searchsorted: rank[i] = #present ids
+    < i, computed from a one-hot histogram (a bf16 one-hot einsum — TPU
+    scatter-adds are ~3x slower for small-bin histograms)."""
+    flat = label.reshape(-1)
+    onehot = (flat[:, None] == jnp.arange(max_id + 1)[None, :]
+              ).astype(jnp.bfloat16)
+    counts = jnp.einsum("nk->k", onehot)
+    present = counts > 0
+    rank = jnp.cumsum(present.astype(jnp.int32)) - 1
+    return rank[flat].reshape(label.shape)
+
+
+def _crop_bilinear_cv2(img: jax.Array, box: jax.Array, size: int
+                       ) -> jax.Array:
+    """img[y0:y1+1, x0:x1+1] bilinear-resized to [size, size, C] with
+    cv2.resize's half-pixel-center convention (src = (dst+0.5)*scale - 0.5),
+    as a coordinate-mapped gather under a static output shape.
+
+    (ops.roi._roi_bilinear_crop is the inference-path variant with torch's
+    align_corners=True convention, test_dataset.py:96-101; the TRAIN crop
+    path goes through cv2.resize, tabletop_object.py:231-237.)"""
+    h, w = img.shape[:2]
+    x0, y0, x1, y1 = box[0], box[1], box[2], box[3]
+    ch = (y1 - y0 + 1).astype(jnp.float32)
+    cw = (x1 - x0 + 1).astype(jnp.float32)
+    d = jnp.arange(size, dtype=jnp.float32) + 0.5
+    ys = y0.astype(jnp.float32) + d * ch / size - 0.5
+    xs = x0.astype(jnp.float32) + d * cw / size - 0.5
+    ys = jnp.clip(ys, y0.astype(jnp.float32),
+                  y1.astype(jnp.float32))          # cv2 border replicate
+    xs = jnp.clip(xs, x0.astype(jnp.float32), x1.astype(jnp.float32))
+    y_lo = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    y_hi = jnp.clip(y_lo + 1, 0, h - 1)
+    x_lo = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    x_hi = jnp.clip(x_lo + 1, 0, w - 1)
+    wy = (ys - y_lo.astype(jnp.float32))[:, None, None]
+    wx = (xs - x_lo.astype(jnp.float32))[None, :, None]
+    g = lambda yy, xx: img[yy][:, xx]
+    return ((1 - wy) * (1 - wx) * g(y_lo, x_lo)
+            + (1 - wy) * wx * g(y_lo, x_hi)
+            + wy * (1 - wx) * g(y_hi, x_lo)
+            + wy * wx * g(y_hi, x_hi))
+
+
+def _crop_nearest_cv2(img: jax.Array, box: jax.Array, size: int) -> jax.Array:
+    """Crop + nearest resize, cv2 INTER_NEAREST convention
+    (src = floor(dst * scale))."""
+    h, w = img.shape[:2]
+    x0, y0, x1, y1 = box[0], box[1], box[2], box[3]
+    ch = (y1 - y0 + 1).astype(jnp.float32)
+    cw = (x1 - x0 + 1).astype(jnp.float32)
+    d = jnp.arange(size, dtype=jnp.float32)
+    ys = jnp.clip(y0 + jnp.floor(d * ch / size).astype(jnp.int32), 0, h - 1)
+    xs = jnp.clip(x0 + jnp.floor(d * cw / size).astype(jnp.int32), 0, w - 1)
+    return img[ys][:, xs]
+
+
+def make_device_augment_crop(cfg, *, fx: float, fy: float, px: float,
+                             py: float):
+    """Object-centric crop-training augmentation (cfg.TRAIN.SYN_CROP) as one
+    device function: the reference's pad_crop_resize + process_label +
+    sample_pixels + chromatic/noise recipe (tabletop_object.py:175-237,
+    241-254, 299-306) on device-resident raw scenes.
+
+    Per sample: full-image depth augmentation + backprojection, pick a random
+    instance, tight box -> squared -> random-percentage padding (pad
+    >= 25 px), crop-resize to SYN_CROP_SIZE^2 (cv2 conventions: bilinear for
+    BGR, nearest for label/XYZ), dense-relabel, per-cluster pixel sampling,
+    RGB jitter + normalize.
+
+    Deviation from the host path: the reference retries degenerate boxes
+    (tabletop_object.py:175 `while True`); after the >= 25 px pad a box can
+    only degenerate if the image is < 50 px wide, so the device path skips
+    the retry.
+
+    augment(bgr_u8 [B,H,W,3], depth_mm_u16 [B,H,W], label_u8 [B,H,W], key)
+      -> (image [B,S,S,3], xyz [B,S,S,3], label [B,S,S])
+    """
+    input_type = str(cfg.INPUT)
+    use_chromatic = bool(cfg.TRAIN.CHROMATIC)
+    use_noise = bool(cfg.TRAIN.ADD_NOISE)
+    sampling_num = (int(cfg.TRAIN.EMBEDDING_SAMPLING_NUM)
+                    if bool(cfg.TRAIN.EMBEDDING_SAMPLING) else 0)
+    pixel_means = jnp.asarray(cfg.pixel_means, jnp.float32)
+    size = int(cfg.TRAIN.SYN_CROP_SIZE)
+    pct_min = float(cfg.TRAIN.min_padding_percentage)
+    pct_max = float(cfg.TRAIN.max_padding_percentage)
+
+    def one(bgr, depth_mm, label_u8, key):
+        ks = jax.random.split(key, 10)
+        h, w = depth_mm.shape
+        label = label_u8.astype(jnp.int32)
+
+        # full-image depth pipeline first (tabletop_object.py:135-155 runs
+        # process_depth before pad_crop_resize)
+        depth = depth_mm.astype(jnp.float32) / 1000.0
+        mult = jax.random.gamma(ks[0], GAMMA_SHAPE) * GAMMA_SCALE
+        depth = dropout_random_ellipses_device(depth * mult, ks[1])
+        xyz = compute_xyz(depth, fx, fy, px, py, height=h, width=w)
+        xyz = add_gp_noise_to_xyz_device(xyz, depth, ks[2])
+
+        # random instance -> tight box (tabletop_object.py:169-181)
+        k = jnp.max(label)
+        pick = 1 + jax.random.randint(ks[3], (), 0, jnp.maximum(k, 1))
+        fg = jnp.where(k > 0, label == pick, label >= 0)
+        ygrid = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xgrid = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        big = jnp.int32(1 << 30)
+        x0 = jnp.min(jnp.where(fg, xgrid, big)).astype(jnp.float32)
+        y0 = jnp.min(jnp.where(fg, ygrid, big)).astype(jnp.float32)
+        x1 = jnp.max(jnp.where(fg, xgrid, -big)).astype(jnp.float32)
+        y1 = jnp.max(jnp.where(fg, ygrid, -big)).astype(jnp.float32)
+
+        # square around the center, then random-percentage pad (:175-188)
+        cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+        xd, yd = x1 - x0, y1 - y0
+        side = jnp.maximum(xd, yd)
+        y0s = jnp.where(xd > yd, cy - xd / 2, y0)
+        y1s = jnp.where(xd > yd, cy + xd / 2, y1)
+        x0s = jnp.where(xd > yd, x0, cx - yd / 2)
+        x1s = jnp.where(xd > yd, x1, cx + yd / 2)
+        pct = jax.random.uniform(ks[4], (), minval=pct_min, maxval=pct_max)
+        pad = jnp.rint(side * pct)
+        pad = jnp.where(pad == 0, 25.0, pad)
+        box = jnp.stack([
+            jnp.maximum(jnp.floor(x0s - pad), 0),
+            jnp.maximum(jnp.floor(y0s - pad), 0),
+            jnp.minimum(jnp.floor(x1s + pad), w - 1),
+            jnp.minimum(jnp.floor(y1s + pad), h - 1)]).astype(jnp.int32)
+
+        lab_c = _crop_nearest_cv2(label, box, size)
+        lab_c = _dense_relabel(lab_c)
+        xyz_c = None
+        if input_type in ("DEPTH", "RGBD"):
+            xyz_c = _crop_nearest_cv2(xyz, box, size)
+
+        image = None
+        if input_type in ("COLOR", "RGBD"):
+            img = _crop_bilinear_cv2(bgr.astype(jnp.float32), box, size)
+            if use_chromatic:
+                img = jax.lax.cond(
+                    jax.random.uniform(ks[5]) > 0.1,
+                    lambda im: chromatic_transform_device(im, ks[6]),
+                    lambda im: im, img)
+            if use_noise:
+                img = jax.lax.cond(
+                    jax.random.uniform(ks[7]) > 0.1,
+                    lambda im: add_noise_device(im, ks[8]),
+                    lambda im: im, img)
+            image = img / 255.0 - pixel_means / 255.0
+
+        if sampling_num:
+            lab_c = sample_pixels_device(lab_c, ks[9], sampling_num)
+        return image, xyz_c, lab_c
+
+    def augment(bgr, depth_mm, label_u8, key):
+        keys = jax.random.split(key, label_u8.shape[0])
+        return jax.vmap(one)(bgr, depth_mm, label_u8, keys)
+
+    return augment
+
+
 def make_device_augment(cfg, *, fx: float, fy: float, px: float, py: float):
     """Build augment(bgr_u8 [B,H,W,3], depth_mm_u16 [B,H,W],
     label_u8 [B,H,W], key) -> (image, xyz, label) for cfg.
