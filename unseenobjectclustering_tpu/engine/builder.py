@@ -45,7 +45,15 @@ def load_network_variables(cfg: Config, network_name: str,
     if os.path.isdir(pretrained):
         from unseenobjectclustering_tpu.utils.checkpoint import (
             restore_checkpoint)
-        restored, step = restore_checkpoint(pretrained)
+        # `dir/12` selects epoch 12 from the manager dir `dir`; a bare
+        # manager dir restores its latest snapshot
+        base = os.path.basename(os.path.normpath(pretrained))
+        if base.isdigit():
+            restored, step = restore_checkpoint(
+                os.path.dirname(os.path.normpath(pretrained)),
+                step=int(base))
+        else:
+            restored, step = restore_checkpoint(pretrained)
         print(f"=> restored orbax checkpoint step {step} from {pretrained}")
         return {"params": restored["params"],
                 "batch_stats": restored["batch_stats"]}
