@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--pretrained", required=True)
+    p.add_argument("--cfg", dest="cfg_file", type=str, default=None)
     p.add_argument("--network", dest="network_name", type=str,
                    default="seg_resnet34_8s_embedding")
     p.add_argument("--scenes", type=int, default=50)
@@ -43,7 +44,14 @@ def main():
     from unseenobjectclustering_tpu.engine.evaluate import average_metrics
     from unseenobjectclustering_tpu.utils.evaluation import multilabel_metrics
 
-    base = Config.from_dict({"INPUT": "RGBD", "MODE": "TEST"})
+    if args.cfg_file:
+        base = Config.from_yaml(args.cfg_file).replace(MODE="TEST")
+    else:
+        # no-cfg default follows the shipped recipes (cosine metric) — the
+        # reference config.py default 'euclidean' matches no released
+        # checkpoint and silently over-segments cosine-trained embeddings
+        base = Config.from_dict({"INPUT": "RGBD", "MODE": "TEST",
+                                 "TRAIN": {"EMBEDDING_METRIC": "cosine"}})
     ds = SyntheticTabletopDataset("test", base, height=args.height,
                                   width=args.width, size=args.scenes)
 
