@@ -66,3 +66,33 @@ def test_exact_resume(tmp_path):
     for a, b in zip(got, want):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(state3.step) == 4
+
+
+def test_epoch_addressable_checkpoint(tmp_path):
+    """load_network_variables('dir/N') restores epoch N, not latest."""
+    from unseenobjectclustering_tpu.engine.builder import (
+        load_network_variables)
+
+    cfg = small_cfg()
+    step = make_train_step(cfg, max_k=8)
+    state = create_train_state(cfg, network_name="seg_resnet34_8s_embedding",
+                               height=16, width=16)
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, 1, state)
+    # materialize: the train step donates the state, deleting these buffers
+    params_e1 = [np.asarray(x)
+                 for x in jax.tree_util.tree_leaves(state.params)]
+    state, _ = step(state, *_batch(0))
+    save_checkpoint(ckpt_dir, 2, state)
+
+    v1 = load_network_variables(cfg, "seg_resnet34_8s_embedding",
+                                f"{ckpt_dir}/1", 16, 16)
+    for a, b in zip(jax.tree_util.tree_leaves(v1["params"]), params_e1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # bare dir restores latest (epoch 2 != epoch 1 after a step)
+    v2 = load_network_variables(cfg, "seg_resnet34_8s_embedding",
+                                ckpt_dir, 16, 16)
+    same = all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(v2["params"]), params_e1))
+    assert not same
