@@ -70,28 +70,28 @@ def _cluster_batch(features: jax.Array, keys: jax.Array, **ms_kw) -> jax.Array:
 
 def _cluster_crops(features: jax.Array, valid: jax.Array, keys: jax.Array,
                    **ms_kw) -> jax.Array:
-    """Cluster ALL RoI crops' embeddings in one batched program.
+    """Cluster each RoI crop's embeddings, skipping invalid padded slots.
 
     features: [M, S, S, C]; valid: [M] bool.  Returns [M, S, S] int32.
 
-    vmap over the XLA mean-shift path: the M farthest-point recurrences
-    advance in lockstep, so each of the 100 sequential seeding steps issues
-    one [M, n, d] x [M, d] batched matmul instead of M separate latency-bound
-    matvec chains (the previous lax.map + cond was the refined path's
-    bottleneck).  The fused Pallas kernels stay on the full-resolution
-    stage-1 path — at crop scale (n = 50k) the batched einsums already keep
-    the MXU fed.  Invalid padded slots cluster garbage at uniform cost and
-    are zeroed at the end.
+    Sequential lax.map + lax.cond, NOT a batched vmap: measured on v5e
+    (8 x 224^2 crops), map+cond with the fused Pallas kernels runs 6.5 ms
+    fast / 14.3 ms parity per frame vs 12.6 / 37.4 ms for a vmapped XLA
+    path and 6.9 / 34.0 ms for vmapped Pallas — the cond skip of invalid
+    padded slots and the VMEM-resident hill climb beat lockstep batching,
+    whose per-crop [n, m] kernel matrices round-trip HBM.
     """
     m, s, _, c = features.shape
-    kw = dict(ms_kw, use_pallas=False)
 
-    def one(feat, k):
-        res = mean_shift_smart_init(feat.reshape(s * s, c), k, **kw)
-        return res.labels.reshape(s, s)
+    def one(args):
+        feat, ok, k = args
+        def run(_):
+            res = mean_shift_smart_init(feat.reshape(s * s, c), k, **ms_kw)
+            return res.labels.reshape(s, s)
+        return jax.lax.cond(ok, run,
+                            lambda _: jnp.zeros((s, s), jnp.int32), None)
 
-    labels = jax.vmap(one)(features, keys)
-    return jnp.where(valid[:, None, None], labels, 0)
+    return jax.lax.map(one, (features, valid, keys))
 
 
 class Segmentor:
