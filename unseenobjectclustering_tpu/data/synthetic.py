@@ -37,7 +37,11 @@ def _normalize(v):
 
 
 # Bump to invalidate on-disk scene caches when the renderer changes.
-RENDER_VERSION = 2
+# v3: multi-region object textures (one object, several texture zones —
+# teaches the embedding that texture boundaries are not object boundaries),
+# flat decal distractors on the table (background-labeled texture
+# discontinuities), and specular highlights.
+RENDER_VERSION = 3
 
 
 # -- primitive ray intersections (camera at the origin, rays d [H,W,3]) ------
@@ -393,9 +397,19 @@ class SyntheticTabletopDataset(_DatasetBase):
                            "top_h": base_h + height, "stackable": stackable})
             c1 = rng.uniform(0.15, 1.0, size=3)
             c2 = rng.uniform(0.15, 1.0, size=3)
-            specs.append({"pattern": _random_pattern(rng),
-                          "c1": c1.astype(np.float32),
-                          "c2": c2.astype(np.float32)})
+            spec = {"pattern": _random_pattern(rng),
+                    "c1": c1.astype(np.float32),
+                    "c2": c2.astype(np.float32), "base": base.copy()}
+            # ~55%: a second texture zone on the SAME object (split by a
+            # random plane through the object) — real objects carry labels,
+            # lids, multi-material panels; the embedding must not cut them
+            if rng.rand() < 0.55:
+                spec["pattern_b"] = _random_pattern(rng)
+                spec["c1b"] = rng.uniform(0.15, 1.0, 3).astype(np.float32)
+                spec["c2b"] = rng.uniform(0.15, 1.0, 3).astype(np.float32)
+                spec["split_u"] = _normalize(rng.randn(3)).astype(np.float32)
+                spec["split_c"] = np.float32(rng.uniform(-0.02, 0.02))
+            specs.append(spec)
 
         valid = np.isfinite(zbuf)
         pts = d * np.where(valid, zbuf, 0.0)[..., None]  # world hit points
@@ -408,7 +422,14 @@ class SyntheticTabletopDataset(_DatasetBase):
                 continue
             s = specs[obj - 1]
             t = _surface_pattern(pts[m], s["pattern"])[:, None]
-            base_col[m] = s["c1"] * (1.0 - t) + s["c2"] * t
+            col = s["c1"] * (1.0 - t) + s["c2"] * t
+            if "pattern_b" in s:   # second texture zone, same instance label
+                tb = _surface_pattern(pts[m], s["pattern_b"])[:, None]
+                col_b = s["c1b"] * (1.0 - tb) + s["c2b"] * tb
+                side = ((pts[m] - s["base"]) @ s["split_u"]
+                        > s["split_c"])[:, None]
+                col = np.where(side, col_b, col)
+            base_col[m] = col
         # table: base color x multi-octave noise x optional grain pattern
         table_spec = {"pattern": _random_pattern(rng, plain_prob=0.45),
                       "c1": rng.uniform(0.3, 0.95, 3).astype(np.float32),
@@ -436,6 +457,32 @@ class SyntheticTabletopDataset(_DatasetBase):
             col = col * (0.8 + 0.4 * tex[m])[:, None]
             base_col[m] = col
 
+        # flat decal distractors on the table: colored elliptical patches
+        # (placemats, stains, printed paper) that stay LABEL 0 — texture
+        # discontinuities the clustering must not promote to objects
+        table_bg = (plane_id == 1) & (labels == 0)
+        n_decal = rng.randint(0, 5)
+        if n_decal and table_bg.any():
+            rel = pts[table_bg] - p0
+            uu, vv = rel @ t1, rel @ t2
+            col_tb = base_col[table_bg]
+            for _ in range(n_decal):
+                du, dv = rng.uniform(-0.7, 0.7), rng.uniform(-0.6, 0.7)
+                ru = rng.uniform(0.05, 0.3)
+                rv = ru * rng.uniform(0.4, 1.6)
+                th = rng.uniform(0, np.pi)
+                ct, st = np.cos(th), np.sin(th)
+                a = ((uu - du) * ct + (vv - dv) * st) / ru
+                b = (-(uu - du) * st + (vv - dv) * ct) / rv
+                inside = (a * a + b * b) < 1.0
+                if not inside.any():
+                    continue
+                dcol = rng.uniform(0.05, 1.0, 3).astype(np.float32)
+                mix = rng.uniform(0.6, 1.0)
+                col_tb[inside] = ((1 - mix) * col_tb[inside]
+                                  + mix * dcol[None, :])
+            base_col[table_bg] = col_tb
+
         # -- lighting: randomized direction + color, lambertian + shadows -----
         light = _normalize(np.array([rng.uniform(-0.6, 0.6),
                                      rng.uniform(-1.0, -0.3),
@@ -462,8 +509,20 @@ class SyntheticTabletopDataset(_DatasetBase):
             shade_pl = shade[on_plane] * sh
             shade[on_plane] = shade_pl
 
+        # specular highlights (Blinn-Phong): glossy real objects carry
+        # bright spots that break color constancy within one instance
+        dn_hat = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True),
+                                1e-9)
+        half = -(light[None, None] + dn_hat)
+        half /= np.maximum(np.linalg.norm(half, axis=-1, keepdims=True), 1e-9)
+        ks = rng.uniform(0.0, 0.55)
+        p_exp = rng.uniform(8.0, 40.0)
+        spec_hl = ks * np.clip((normal_buf * half).sum(-1), 0.0, 1.0) ** p_exp
+        spec_hl = np.where(labels > 0, spec_hl, 0.25 * spec_hl)
+
         exposure = rng.uniform(1.0, 1.35)
-        rgb = base_col * shade[..., None] * light_col * exposure
+        rgb = ((base_col * shade[..., None] + spec_hl[..., None])
+               * light_col * exposure)
         # sky / out-of-scene rays: dark gradient + noise, invalid depth
         if (~valid).any():
             g = (0.02 + 0.08 * (1.0 - np.mgrid[:h, :w][0] / h)
