@@ -47,8 +47,13 @@ def main():
     for mi, metric in enumerate(METRICS):
         ax = axes[mi]
         for variant, curve in results.items():
-            xs = range(1, len(curve) + 1)
-            ax.plot(xs, [row[mi] for row in curve], marker="o",
+            if isinstance(curve, dict):   # sparse: {"epochs": [...],
+                xs = curve["epochs"]      #          "values": [[F,Fb,p75]]}
+                rows = curve["values"]
+            else:                         # dense: [[F, Fb, p75] per epoch]
+                xs = range(1, len(curve) + 1)
+                rows = curve
+            ax.plot(xs, [row[mi] for row in rows], marker="o",
                     label=f"{variant} (ours)")
         for variant, vals in PUBLISHED_EPOCH16.items():
             ax.axhline(vals[mi], linestyle="--", alpha=0.4)
