@@ -71,6 +71,7 @@ def main():
     pixel_means = cfg.pixel_means / 255.0
     segmentor = None
     rows = []
+    counts = {}
     for color_file in color_files:
         im = cv2.imread(color_file)
         raw = cv2.imread(color_file.replace("-color.png", "-depth.png"),
@@ -92,6 +93,7 @@ def main():
             cells.append(visualize_segmentation(im, res.labels_refined[0]))
         rows.append(np.concatenate(cells, axis=1))
         n1 = len(np.unique(res.labels[0])) - 1
+        counts[os.path.basename(color_file)] = n1
         print(f"{os.path.basename(color_file)}: {n1} stage-1 objects",
               flush=True)
 
@@ -100,6 +102,9 @@ def main():
         grid = cv2.resize(grid, None, fx=args.scale, fy=args.scale)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     cv2.imwrite(args.out, grid)
+    with open(args.out + ".json", "w") as f:
+        json.dump({"pretrained": args.pretrained,
+                   "stage1_instances": counts}, f, indent=1)
     print(f"wrote {args.out} ({grid.shape[1]}x{grid.shape[0]})")
 
 
