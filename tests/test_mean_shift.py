@@ -242,3 +242,20 @@ def test_full_pipeline_pallas_agrees(rng):
                                num_seeds=20, max_iters=10, epsilon=0.04,
                                use_pallas=True)
     np.testing.assert_array_equal(np.asarray(r1.labels), np.asarray(r2.labels))
+
+
+def test_full_pipeline_cat_fusion_dim(rng):
+    """d=128 embeddings (RGBD-cat doubles the unit count, SEG.py:109-110)
+    cluster correctly through both the XLA and Pallas paths."""
+    x, gt, _ = make_clustered_data(rng, n_per=120, d=128, spread=0.03)
+    r1 = mean_shift_smart_init(jnp.asarray(x), jax.random.key(1), kappa=20.0,
+                               num_seeds=20, max_iters=10, epsilon=0.04,
+                               use_pallas=False)
+    labels = np.asarray(r1.labels)
+    assert np.unique(labels).size == 3
+    for g in range(3):
+        assert np.unique(labels[gt == g]).size == 1
+    r2 = mean_shift_smart_init(jnp.asarray(x), jax.random.key(1), kappa=20.0,
+                               num_seeds=20, max_iters=10, epsilon=0.04,
+                               use_pallas=True)
+    np.testing.assert_array_equal(labels, np.asarray(r2.labels))
