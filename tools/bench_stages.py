@@ -1,0 +1,152 @@
+#!/usr/bin/env python3
+"""Per-stage device-time breakdown of the stage-1 pipeline at 640x480.
+
+Each variant scan-chains ITERS frames (frame i+1 depends on frame i's
+output) and is timed with one host fetch — the same methodology as
+bench.py, so the full variant reproduces its fps.  Successive variants add
+one pipeline stage; the deltas attribute ms/frame to each stage:
+
+  pre            on-device preprocessing (normalize + backprojection)
+  +fwd           ResNet34-8s RGBD-add forward + L2 normalize
+  +seed          farthest-point seeding
+  +climb         vMF hill climb + connected components + assignment
+  +filter        depth validity filter (= bench.py's full stage 1)
+
+Usage: python tools/bench_stages.py [--parity]
+"""
+
+import argparse
+import time
+
+import _init_paths  # noqa: F401
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+H, W = 480, 640
+ITERS = 30
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--parity", action="store_true",
+                    help="fp32 + stride-1 seeding (reference-exact)")
+    ap.add_argument("--iters", type=int, default=ITERS)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--width", type=int, default=None)
+    args = ap.parse_args()
+    global H, W
+    if args.height:
+        H = args.height
+    if args.width:
+        W = args.width
+    fast = not args.parity
+
+    from unseenobjectclustering_tpu.config import Config
+    from unseenobjectclustering_tpu.models import get_network
+    from unseenobjectclustering_tpu.ops.mean_shift import (
+        MeanShiftResult, mean_shift_smart_init, select_smart_seeds_lazy)
+    from unseenobjectclustering_tpu.ops.pallas_seeding import (
+        select_seeds_pallas)
+    from unseenobjectclustering_tpu.ops.preprocess import preprocess_rgbd
+    from unseenobjectclustering_tpu.ops.roi import filter_labels_depth
+
+    cfg = Config.default()
+    on_tpu = jax.default_backend() == "tpu"
+    model_dtype = jnp.bfloat16 if (fast and on_tpu) else jnp.float32
+    model = get_network("seg_resnet34_8s_embedding", cfg, dtype=model_dtype)
+    zeros = jnp.zeros((1, H, W, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(3), zeros, zeros, train=False)
+
+    num_seeds = int(cfg.CLUSTER.NUM_SEEDS)
+    ms_kw = dict(kappa=float(cfg.CLUSTER.KAPPA), num_seeds=num_seeds,
+                 max_iters=int(cfg.CLUSTER.MAX_ITERS),
+                 epsilon=float(cfg.cluster_epsilon), metric="cosine",
+                 use_pallas=on_tpu, seed_subsample=4 if fast else 1,
+                 compute_dtype="bfloat16" if (fast and on_tpu) else "float32")
+    pixel_means = jnp.asarray(cfg.pixel_means)
+    sub = ms_kw["seed_subsample"]
+
+    def stage_pre(bgr_i, depth, intr, key):
+        fx, fy, px, py = intr
+        img, xyz = preprocess_rgbd(bgr_i, depth, pixel_means, fx, fy, px, py,
+                                   height=H, width=W)
+        return img.sum() + xyz.sum(), None
+
+    def stage_fwd(bgr_i, depth, intr, key):
+        fx, fy, px, py = intr
+        img, xyz = preprocess_rgbd(bgr_i, depth, pixel_means, fx, fy, px, py,
+                                   height=H, width=W)
+        feats = model.apply(variables, img[None], xyz[None], train=False)
+        return feats.sum().astype(jnp.float32), None
+
+    def _feats(bgr_i, depth, intr):
+        fx, fy, px, py = intr
+        img, xyz = preprocess_rgbd(bgr_i, depth, pixel_means, fx, fy, px, py,
+                                   height=H, width=W)
+        feats = model.apply(variables, img[None], xyz[None], train=False)
+        return feats.reshape(H * W, feats.shape[-1]), xyz
+
+    def stage_seed(bgr_i, depth, intr, key):
+        x, _ = _feats(bgr_i, depth, intr)
+        xc = (x.astype(jnp.bfloat16) if ms_kw["compute_dtype"] == "bfloat16"
+              else x)
+        x_seed = xc[::sub] if sub > 1 else xc
+        vmem = x_seed.shape[0] * x_seed.shape[1] * x_seed.dtype.itemsize
+        if on_tpu and vmem <= 8 * 2 ** 20:
+            first = jax.random.randint(key, (), 0, x_seed.shape[0])
+            seeds, _ = select_seeds_pallas(x_seed, ms_kw["num_seeds"],
+                                           first.astype(jnp.int32))
+        else:
+            seeds, _ = select_smart_seeds_lazy(x_seed, ms_kw["num_seeds"],
+                                               key, None)
+        return seeds.sum().astype(jnp.float32), None
+
+    def stage_climb(bgr_i, depth, intr, key):
+        x, _ = _feats(bgr_i, depth, intr)
+        res = mean_shift_smart_init(x, key, **ms_kw)
+        return res.labels.sum().astype(jnp.float32), None
+
+    def stage_filter(bgr_i, depth, intr, key):
+        x, xyz = _feats(bgr_i, depth, intr)
+        res = mean_shift_smart_init(x, key, **ms_kw)
+        labels = filter_labels_depth(res.labels.reshape(H, W), xyz, 0.8,
+                                     max_labels=num_seeds + 1)
+        return labels.sum().astype(jnp.float32), None
+
+    rng = np.random.RandomState(3)
+    bgr = jnp.asarray(rng.randint(0, 255, size=(H, W, 3)), jnp.uint8)
+    depth = jnp.asarray(0.5 + rng.rand(H, W).astype(np.float32))
+    intr = tuple(jnp.float32(v) for v in (615.0, 615.0, W / 2.0, H / 2.0))
+    keys = jax.random.split(jax.random.PRNGKey(7), args.iters)
+
+    results = []
+    for name, fn in [("pre", stage_pre), ("+fwd", stage_fwd),
+                     ("+seed", stage_seed), ("+climb", stage_climb),
+                     ("+filter", stage_filter)]:
+
+        @jax.jit
+        def run(variables_, keys_, fn=fn):
+            def body(carry, key):
+                # chain: frame input depends on the previous frame's output
+                bgr_i = bgr + (carry.astype(jnp.int32) % 2).astype(jnp.uint8)
+                out, _ = fn(bgr_i, depth, intr, key)
+                return out.astype(jnp.float32), ()
+            c, _ = jax.lax.scan(body, jnp.float32(0), keys_)
+            return c
+
+        np.asarray(run(variables, keys))  # compile + warm
+        t0 = time.perf_counter()
+        np.asarray(run(variables, keys))
+        ms = (time.perf_counter() - t0) / args.iters * 1e3
+        delta = ms - results[-1][1] if results else ms
+        results.append((name, ms))
+        print(f"{name:8s} {ms:7.2f} ms/frame  (+{delta:5.2f})", flush=True)
+
+    total = results[-1][1]
+    print(f"full stage-1: {total:.2f} ms/frame = {1e3 / total:.1f} fps "
+          f"({'fast' if fast else 'parity'})")
+
+
+if __name__ == "__main__":
+    main()
