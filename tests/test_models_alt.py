@@ -93,3 +93,22 @@ def test_se3_roundtrip():
     ident = se3_mul(rt, se3_inverse(rt))
     assert np.allclose(ident[:3, :3], np.eye(3), atol=1e-10)
     assert np.allclose(ident[:3, 3], 0, atol=1e-10)
+
+
+def test_vgg_train_step_with_dropout_rng():
+    """The VGG decoder trains with Dropout(0.2) (reference unets.py:124);
+    the engine must thread a dropout rng or train-mode apply raises
+    InvalidRngError."""
+    from unseenobjectclustering_tpu.engine.train import (create_train_state,
+                                                         make_train_step)
+    cfg = Config.default().replace(INPUT="COLOR")
+    state = create_train_state(cfg, network_name="seg_vgg_embedding",
+                               height=32, width=32)
+    step = make_train_step(cfg, max_k=4)
+    img = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    label = jnp.zeros((1, 32, 32), jnp.int32)
+    step_before = int(state.step)  # state is donated by the jitted step
+    new_state, metrics = step(state, img, None, label,
+                              jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == step_before + 1

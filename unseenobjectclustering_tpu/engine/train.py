@@ -127,11 +127,18 @@ def create_train_state(cfg: Config, *, network_name: str,
 
 def loss_fn(params, batch_stats, apply_fn, img, xyz, label, *,
             alpha: float, delta: float, lambda_intra: float,
-            lambda_inter: float, max_k: int, metric: str):
-    """Forward + embedding loss; returns (loss, (aux, new_batch_stats))."""
+            lambda_inter: float, max_k: int, metric: str, rng=None):
+    """Forward + embedding loss; returns (loss, (aux, new_batch_stats)).
+
+    rng drives stochastic layers in train mode (the VGG decoder's
+    Dropout(0.2), reference lib/networks/unets.py:124); ResNet/U-Net
+    backbones have none and ignore it.
+    """
     variables = {"params": params, "batch_stats": batch_stats}
     features, mutated = apply_fn(variables, img, xyz, train=True,
-                                 mutable=["batch_stats"])
+                                 mutable=["batch_stats"],
+                                 rngs=(None if rng is None
+                                       else {"dropout": rng}))
     out = embedding_loss(features, label, alpha=alpha, delta=delta,
                          lambda_intra=lambda_intra,
                          lambda_inter=lambda_inter, max_k=max_k,
@@ -141,12 +148,12 @@ def loss_fn(params, batch_stats, apply_fn, img, xyz, label, *,
 
 def _train_step_body(state: TrainState, img, xyz, label, *, alpha: float,
                      delta: float, lambda_intra: float, lambda_inter: float,
-                     max_k: int, metric: str):
+                     max_k: int, metric: str, rng=None):
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     (loss, (out, new_bs)), grads = grad_fn(
         state.params, state.batch_stats, state.apply_fn, img, xyz, label,
         alpha=alpha, delta=delta, lambda_intra=lambda_intra,
-        lambda_inter=lambda_inter, max_k=max_k, metric=metric)
+        lambda_inter=lambda_inter, max_k=max_k, metric=metric, rng=rng)
     updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     new_state = state.replace(step=state.step + 1, params=new_params,
@@ -157,9 +164,10 @@ def _train_step_body(state: TrainState, img, xyz, label, *, alpha: float,
 
 @functools.partial(jax.jit, static_argnames=("max_k", "metric"),
                    donate_argnums=(0,))
-def train_step(state: TrainState, img, xyz, label, *, alpha: float,
-               delta: float, lambda_intra: float, lambda_inter: float,
-               max_k: int = 32, metric: str = "cosine"):
+def train_step(state: TrainState, img, xyz, label, rng=None, *,
+               alpha: float, delta: float, lambda_intra: float,
+               lambda_inter: float, max_k: int = 32,
+               metric: str = "cosine"):
     """One optimization step.
 
     When the batch arrays carry a NamedSharding over a 'data' mesh axis and
@@ -171,7 +179,7 @@ def train_step(state: TrainState, img, xyz, label, *, alpha: float,
     return _train_step_body(state, img, xyz, label, alpha=alpha, delta=delta,
                             lambda_intra=lambda_intra,
                             lambda_inter=lambda_inter, max_k=max_k,
-                            metric=metric)
+                            metric=metric, rng=rng)
 
 
 def train_epochs(cfg: Config, state: TrainState, dataloader, *,
@@ -230,7 +238,11 @@ def train_epochs(cfg: Config, state: TrainState, dataloader, *,
                 label = batch["label"]
                 if mesh is not None:
                     img, xyz, label = shard_batch((img, xyz, label), mesh)
-                state, metrics = step_fn(state, img, xyz, label)
+                # dropout stream for stochastic decoders (VGG); same
+                # (seed, epoch, step) determinism as the raw-path key
+                rng = jax.random.PRNGKey(
+                    (seed * 1_000_003 + epoch * 97_003 + i) % (2 ** 31 - 1))
+                state, metrics = step_fn(state, img, xyz, label, rng)
             if i % log_every == 0:
                 loss = float(metrics["loss"])
                 lr = float(schedule(int(state.step)))
@@ -258,8 +270,8 @@ def make_train_step(cfg: Config, max_k: int = 32):
               lambda_inter=float(cfg.TRAIN.EMBEDDING_LAMBDA_INTER),
               max_k=max_k, metric=str(cfg.TRAIN.EMBEDDING_METRIC))
 
-    def step(state, img, xyz, label):
-        return train_step(state, img, xyz, label, **kw)
+    def step(state, img, xyz, label, rng=None):
+        return train_step(state, img, xyz, label, rng, **kw)
 
     return step
 
@@ -300,7 +312,10 @@ def make_train_step_resident(cfg: Config, *, fx: float, fy: float,
         depth_mm = jnp.take(depth_all, idx, axis=0)
         label_u8 = jnp.take(label_all, idx, axis=0)
         img, xyz, label = augment(bgr, depth_mm, label_u8, key)
-        return _train_step_body(state, img, xyz, label, **kw)
+        # fold_in (not split) keeps the augmentation stream bit-identical
+        # to runs that predate the dropout rng
+        return _train_step_body(state, img, xyz, label,
+                                rng=jax.random.fold_in(key, 1), **kw)
 
     return step
 
@@ -390,6 +405,7 @@ def make_train_step_raw(cfg: Config, *, fx: float, fy: float, px: float,
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, bgr, depth_mm, label_u8, key):
         img, xyz, label = augment(bgr, depth_mm, label_u8, key)
-        return _train_step_body(state, img, xyz, label, **kw)
+        return _train_step_body(state, img, xyz, label,
+                                rng=jax.random.fold_in(key, 1), **kw)
 
     return step
