@@ -39,7 +39,8 @@ ITERS = 30
 TARGET_FPS = 60.0
 
 
-def build_refine_pipeline(fast: bool, max_instances: int = 8):
+def build_refine_pipeline(fast: bool, max_instances: int = 8,
+                          crop_size: int = 224):
     """Two-stage (zoom-in) demo-path benchmark (test_dataset.py:232-267).
 
     Stage 1 runs the full backbone + clustering + depth filter; stage 2
@@ -72,7 +73,7 @@ def build_refine_pipeline(fast: bool, max_instances: int = 8):
     key = jax.random.PRNGKey(3)
     zeros = jnp.zeros((1, H, W, 3), jnp.float32)
     variables = model.init(key, zeros, zeros, train=False)
-    zc = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    zc = jnp.zeros((1, crop_size, crop_size, 3), jnp.float32)
     variables_crop = model_crop.init(jax.random.PRNGKey(4), zc, zc,
                                      train=False)
 
@@ -104,7 +105,8 @@ def build_refine_pipeline(fast: bool, max_instances: int = 8):
             labels1 = filter_labels_depth(res.labels.reshape(H, W), xyz, 0.8,
                                           max_labels=num_seeds + 1)
             crops = crop_rois(img_i, gt_labels, xyz,
-                              max_instances=max_instances, crop_size=224)
+                              max_instances=max_instances,
+                              crop_size=crop_size)
             feats_c = model_crop.apply(variables_crop, crops.rgb_crops,
                                        crops.depth_crops, train=False)
             keys_c = jax.random.split(key, max_instances)
@@ -180,7 +182,14 @@ def main():
 
     if refine:
         iters = 10
-        run_frames, args = build_refine_pipeline(fast)
+        crop_size = 224
+        if "--crop-size" in sys.argv:
+            i = sys.argv.index("--crop-size")
+            if i + 1 >= len(sys.argv) or not sys.argv[i + 1].isdigit():
+                sys.exit("--crop-size needs an integer value, e.g. "
+                         "--crop-size 128")
+            crop_size = int(sys.argv[i + 1])
+        run_frames, args = build_refine_pipeline(fast, crop_size=crop_size)
         keys = jax.random.split(jax.random.PRNGKey(7), iters)
         np.asarray(run_frames(*args, keys))  # warm + sync
         t0 = time.perf_counter()

@@ -126,11 +126,8 @@ def main():
     from unseenobjectclustering_tpu.engine.builder import build_segmentor
     from unseenobjectclustering_tpu.engine.stream import StreamSegmentor
 
-    # no-cfg default follows the shipped recipes (cosine metric): the
-    # reference config.py default 'euclidean' matches no released checkpoint
-    # and silently over-segments cosine-trained embeddings
     cfg = (Config.from_yaml(args.cfg_file) if args.cfg_file
-           else Config.from_dict({"TRAIN": {"EMBEDDING_METRIC": "cosine"}}))
+           else Config.inference_default())  # shipped-recipe defaults
     cfg = cfg.replace(MODE="TEST")
     if args.fast:
         cfg = cfg.replace(CLUSTER={"DTYPE": "bfloat16", "SEED_SUBSAMPLE": 4})

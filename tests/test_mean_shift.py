@@ -99,8 +99,10 @@ def test_lazy_seeding_matches_oracle_exactly(rng):
     unchanged.  In float64 (no near-tie rounding noise between the matvec
     and matmul formulations) every seed index must match the oracle."""
     x, _, _ = make_clustered_data(rng, n_per=400, d=16, k=5)
-    x64 = jnp.asarray(x, jnp.float64)
     with jax.enable_x64(True):
+        # asarray must happen INSIDE enable_x64 or it silently truncates
+        # to float32 and the exactness property is not actually exercised
+        x64 = jnp.asarray(x.astype(np.float64), jnp.float64)
         seeds, idxs = select_smart_seeds_lazy(
             x64, 20, jax.random.key(0), first_index=jnp.int32(7), block=256)
     _, oidxs = oracle_select_seeds(x.astype(np.float64), 20, 7)

@@ -49,13 +49,7 @@ def main():
     if args.cfg_file:
         cfg = Config.from_yaml(args.cfg_file)
     else:
-        # Config.default() mirrors the reference's config.py defaults, whose
-        # EMBEDDING_METRIC is 'euclidean' — but every shipped recipe (and
-        # every released checkpoint) is cosine (experiments/cfgs/*.yml).
-        # Clustering cosine-trained unit-norm embeddings with the euclidean
-        # metric + the cosine epsilon silently over-segments, so the no-cfg
-        # default follows the demo recipe.
-        cfg = Config.from_dict({"TRAIN": {"EMBEDDING_METRIC": "cosine"}})
+        cfg = Config.inference_default()  # shipped-recipe defaults
     cfg = cfg.replace(MODE="TEST")
     if args.fast:
         cfg = cfg.replace(CLUSTER={"DTYPE": "bfloat16", "SEED_SUBSAMPLE": 4})

@@ -47,11 +47,7 @@ def main():
     if args.cfg_file:
         base = Config.from_yaml(args.cfg_file).replace(MODE="TEST")
     else:
-        # no-cfg default follows the shipped recipes (cosine metric) — the
-        # reference config.py default 'euclidean' matches no released
-        # checkpoint and silently over-segments cosine-trained embeddings
-        base = Config.from_dict({"INPUT": "RGBD", "MODE": "TEST",
-                                 "TRAIN": {"EMBEDDING_METRIC": "cosine"}})
+        base = Config.inference_default(INPUT="RGBD")
     ds = SyntheticTabletopDataset("test", base, height=args.height,
                                   width=args.width, size=args.scenes)
 

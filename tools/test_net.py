@@ -32,6 +32,10 @@ def parse_args():
     parser.add_argument("--network", dest="network_name", type=str,
                         default="seg_resnet34_8s_embedding")
     parser.add_argument("--max_images", type=int, default=None)
+    parser.add_argument("--crop_size", type=int, default=None,
+                        help="override zoom-in crop resolution (default "
+                             "cfg.TRAIN.SYN_CROP_SIZE=224; smaller is a "
+                             "fast-mode option, e.g. 128)")
     parser.add_argument("--fast", action="store_true",
                         help="bfloat16 conv stack + subsampled seeding")
     if len(sys.argv) == 1:
@@ -58,6 +62,8 @@ def main():
     cfg = cfg.replace(MODE="TEST")
     if args.fast:
         cfg = cfg.replace(CLUSTER={"DTYPE": "bfloat16", "SEED_SUBSAMPLE": 4})
+    if args.crop_size:
+        cfg = cfg.replace(TRAIN={"SYN_CROP_SIZE": args.crop_size})
     print("Using config:")
     pprint.pprint(cfg.to_dict())
 

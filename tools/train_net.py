@@ -155,6 +155,9 @@ def main():
             load_resident_scenes)
         from unseenobjectclustering_tpu.engine.train import (
             train_epochs_resident)
+        assert getattr(dataset, "cache_dir", None), (
+            "--device-resident needs an on-disk scene cache: pass "
+            "--render-cache DIR (see tools/render_dataset.py)")
         scene_dir = os.path.dirname(dataset._scene_path(0))
         scenes = load_resident_scenes(
             scene_dir, limit=args.resident_limit or len(dataset), mesh=mesh)

@@ -385,6 +385,19 @@ class Config:
             overrides = yaml.load(f, Loader=_TupleSafeLoader)
         return Config.from_dict(overrides or {})
 
+    @staticmethod
+    def inference_default(**overrides: Any) -> "Config":
+        """No-cfg default for the inference entry points.
+
+        The reference's config.py default metric is 'euclidean', which
+        matches no released checkpoint (all shipped recipes are cosine,
+        experiments/cfgs/*.yml) and silently over-segments cosine-trained
+        embeddings — so the tools default to the demo recipe instead.
+        Extra overrides merge on top (e.g. INPUT='RGBD')."""
+        cfg = Config.from_dict({"MODE": "TEST",
+                                "TRAIN": {"EMBEDDING_METRIC": "cosine"}})
+        return cfg.replace(**overrides) if overrides else cfg
+
     def replace(self, **overrides: Any) -> "Config":
         """Return a new Config with dotted or nested overrides applied.
 

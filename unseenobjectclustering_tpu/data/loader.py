@@ -56,6 +56,16 @@ class DataLoader:
         self.prefetch = max(int(prefetch), 1)
         self.epoch = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle/augmentation epoch (resume support).
+
+        A resumed run (start_epoch > 0) must call this so data order and
+        augmentation draws continue from the absolute epoch rather than
+        replaying epoch 0 — matching train_epochs_resident's
+        RandomState(seed + epoch) scheme.
+        """
+        self.epoch = int(epoch)
+
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.drop_last:

@@ -211,6 +211,7 @@ class SyntheticTabletopDataset(_DatasetBase):
         # compute-bound instead of renderer-bound from epoch 2 on.
         self._render_cache: dict[int, tuple] = {}
         self._cache_cap = 12000
+        self._manifest_checked = False
         self.f = 0.5 * self.w  # ~53 deg horizontal FoV
         self.cx, self.cy = self.w / 2.0, self.h / 2.0
 
@@ -546,6 +547,39 @@ class SyntheticTabletopDataset(_DatasetBase):
                             f"{self._name}_{self.h}x{self.w}_v{RENDER_VERSION}",
                             f"{idx:06d}.npz")
 
+    def _check_cache_manifest(self, subdir: str) -> None:
+        """Refuse to mix caches rendered under different scene parameters.
+
+        The cache path only encodes name/size/version; base_seed and the
+        object-count range also determine scene content, so a params.json
+        manifest in the cache subdir pins them.  Mismatch -> error instead
+        of silently training on the wrong distribution.  Pre-manifest
+        caches (rendered before this check) adopt the current parameters.
+        """
+        import json
+        import os
+        if self._manifest_checked:
+            return
+        self._manifest_checked = True
+        params = {"base_seed": int(self.base_seed),
+                  "min_objects": int(self.min_objects),
+                  "max_objects": int(self.max_objects)}
+        mpath = os.path.join(subdir, "params.json")
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                on_disk = json.load(fh)
+            if on_disk != params:
+                raise ValueError(
+                    f"render cache {subdir} was created with {on_disk} but "
+                    f"this dataset is configured with {params}; point "
+                    "cache_dir elsewhere or re-render")
+        else:
+            os.makedirs(subdir, exist_ok=True)
+            tmp = mpath + f".tmp{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump(params, fh)
+            os.replace(tmp, mpath)
+
     def get_scene(self, idx: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Deterministic scene for `idx`: (bgr uint8, depth_mm uint16,
         label uint8), already process_label'd.  Rendering is the expensive
@@ -559,6 +593,7 @@ class SyntheticTabletopDataset(_DatasetBase):
         scene = None
         if self.cache_dir:
             p = self._scene_path(idx)
+            self._check_cache_manifest(os.path.dirname(p))
             if os.path.exists(p):
                 with np.load(p) as z:
                     scene = (z["bgr"], z["depth_mm"], z["label"])

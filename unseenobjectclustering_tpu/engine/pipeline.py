@@ -255,6 +255,16 @@ class Segmentor:
         valid) — the full float crop stack never leaves the device.
         """
         max_instances = max_instances or self.max_instances
+        # dense-remap instance ids on device: after the depth filter the
+        # cluster ids can be sparse (e.g. {0, 2, 11}) while crop_rois scans
+        # ids 1..max_instances — the remap makes every instance reachable
+        # (the reference crops every unique id, test_dataset.py:68-70).
+        # Device-side (one-hot presence rank) so the caller never re-uploads
+        # a [H,W] map through the tunnel (~85 ms dispatch + host-RSS leak).
+        from unseenobjectclustering_tpu.ops.train_pipeline import (
+            _dense_relabel)
+        labels = _dense_relabel(labels,
+                                max_id=int(self._ms_kw["num_seeds"]))
         crops = crop_rois(img, labels, xyz,
                           max_instances=max_instances,
                           crop_size=self.crop_size)
@@ -338,19 +348,14 @@ class Segmentor:
                     xyz_d[i].shape, jnp.float32)
                 xyz_i = (xyz_d[i] if xyz_d is not None
                          else jnp.zeros(img_d[i].shape, jnp.float32))
-                # dense-remap instance ids first: after the depth filter the
-                # cluster ids can be sparse (e.g. {0, 2, 11}) while
-                # crop_rois scans ids 1..max_instances — the remap makes
-                # every instance reachable (the reference crops every
-                # unique id, test_dataset.py:68-70) and lets the smallest
-                # compiled bucket fit this frame's instance count
-                uniq = np.unique(labels_np[i])
-                dense = np.searchsorted(uniq, labels_np[i]).astype(np.int32)
-                k = int((uniq > 0).sum())
+                # instance count from the already-fetched stage-1 labels
+                # picks the smallest compiled bucket; the sparse->dense id
+                # remap itself runs on device inside _stage2_impl
+                k = int((np.unique(labels_np[i]) > 0).sum())
                 bucket = next((bk for bk in self._buckets if bk >= k),
                               self.max_instances)
                 labels_veto, order_key, rois, valid = self._stage2(
-                    self.variables_crop, img_i, jnp.asarray(dense), xyz_i,
+                    self.variables_crop, img_i, labels[i], xyz_i,
                     self.next_key(), has_depth=xyz is not None,
                     max_instances=bucket)
                 ref = paste_back(labels_np[i],

@@ -212,6 +212,10 @@ def train_epochs(cfg: Config, state: TrainState, dataloader, *,
     snapshot_epochs = snapshot_epochs or int(cfg.TRAIN.SNAPSHOT_EPOCHS)
 
     for epoch in range(start_epoch, epochs):
+        if hasattr(dataloader, "set_epoch"):
+            # keep data order + augmentation on the ABSOLUTE epoch so a
+            # resumed run doesn't replay epoch-0 shuffles/draws
+            dataloader.set_epoch(epoch)
         epoch_size = len(dataloader)
         t_last = _time.time()
         for i, batch in enumerate(dataloader):
@@ -298,24 +302,17 @@ def make_train_step_resident(cfg: Config, *, fx: float, fy: float,
     from unseenobjectclustering_tpu.ops.train_pipeline import (
         make_device_augment, make_device_augment_crop)
 
-    build = make_device_augment_crop if crop else make_device_augment
-    augment = build(cfg, fx=fx, fy=fy, px=px, py=py)
-    kw = dict(alpha=float(cfg.TRAIN.EMBEDDING_ALPHA),
-              delta=float(cfg.TRAIN.EMBEDDING_DELTA),
-              lambda_intra=float(cfg.TRAIN.EMBEDDING_LAMBDA_INTRA),
-              lambda_inter=float(cfg.TRAIN.EMBEDDING_LAMBDA_INTER),
-              max_k=max_k, metric=str(cfg.TRAIN.EMBEDDING_METRIC))
+    # the resident step IS the raw step behind an index gather — one body,
+    # so the tested raw<->resident bit-identity can't silently drift
+    inner = make_train_step_raw(cfg, fx=fx, fy=fy, px=px, py=py,
+                                max_k=max_k, crop=crop, _jit=False)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, bgr_all, depth_all, label_all, idx, key):
         bgr = jnp.take(bgr_all, idx, axis=0)
         depth_mm = jnp.take(depth_all, idx, axis=0)
         label_u8 = jnp.take(label_all, idx, axis=0)
-        img, xyz, label = augment(bgr, depth_mm, label_u8, key)
-        # fold_in (not split) keeps the augmentation stream bit-identical
-        # to runs that predate the dropout rng
-        return _train_step_body(state, img, xyz, label,
-                                rng=jax.random.fold_in(key, 1), **kw)
+        return inner(state, bgr, depth_mm, label_u8, key)
 
     return step
 
@@ -342,6 +339,9 @@ def train_epochs_resident(cfg: Config, state: TrainState, scenes, *,
     bgr_all, depth_all, label_all = scenes
     n = int(bgr_all.shape[0])
     steps = n // batch_size
+    assert intrinsics is not None, (
+        "train_epochs_resident needs intrinsics=(fx, fy, px, py) for the "
+        "on-device depth backprojection")
     fx, fy, px, py = intrinsics
     step_fn = make_train_step_resident(cfg, fx=fx, fy=fy, px=px, py=py,
                                        max_k=max_k, crop=crop)
@@ -380,7 +380,8 @@ def train_epochs_resident(cfg: Config, state: TrainState, scenes, *,
 
 
 def make_train_step_raw(cfg: Config, *, fx: float, fy: float, px: float,
-                        py: float, max_k: int = 32):
+                        py: float, max_k: int = 32, crop: bool = False,
+                        _jit: bool = True):
     """Fused augmentation + optimization step for RAW scene batches.
 
     The loader emits cached uint8/uint16 scenes untouched (the 1-core host
@@ -393,19 +394,23 @@ def make_train_step_raw(cfg: Config, *, fx: float, fy: float, px: float,
          key) -> (new_state, metrics)
     """
     from unseenobjectclustering_tpu.ops.train_pipeline import (
-        make_device_augment)
+        make_device_augment, make_device_augment_crop)
 
-    augment = make_device_augment(cfg, fx=fx, fy=fy, px=px, py=py)
+    build = make_device_augment_crop if crop else make_device_augment
+    augment = build(cfg, fx=fx, fy=fy, px=px, py=py)
     kw = dict(alpha=float(cfg.TRAIN.EMBEDDING_ALPHA),
               delta=float(cfg.TRAIN.EMBEDDING_DELTA),
               lambda_intra=float(cfg.TRAIN.EMBEDDING_LAMBDA_INTRA),
               lambda_inter=float(cfg.TRAIN.EMBEDDING_LAMBDA_INTER),
               max_k=max_k, metric=str(cfg.TRAIN.EMBEDDING_METRIC))
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, bgr, depth_mm, label_u8, key):
         img, xyz, label = augment(bgr, depth_mm, label_u8, key)
+        # fold_in (not split) keeps the augmentation stream bit-identical
+        # to runs that predate the dropout rng
         return _train_step_body(state, img, xyz, label,
                                 rng=jax.random.fold_in(key, 1), **kw)
 
+    if _jit:
+        return functools.partial(jax.jit, donate_argnums=(0,))(step)
     return step
