@@ -204,6 +204,26 @@ def test_loader_batching_and_shuffle():
     assert ids1 != ids2
 
 
+def test_loader_set_epoch_resume_parity():
+    """A resumed run (set_epoch(k)) must produce the same data order as a
+    fresh run that iterated to epoch k — not replay epoch 0 (the resume
+    data-order bug)."""
+    def orders(dl, epochs):
+        out = []
+        for _ in range(epochs):
+            out.append([b["x"][:, 0, 0].tolist() for b in dl])
+        return out
+
+    fresh = orders(DataLoader(_ToyDataset(12), batch_size=4, shuffle=True,
+                              num_workers=0, seed=7), 4)
+    resumed = DataLoader(_ToyDataset(12), batch_size=4, shuffle=True,
+                         num_workers=0, seed=7)
+    resumed.set_epoch(2)
+    assert [b["x"][:, 0, 0].tolist() for b in resumed] == fresh[2]
+    # and it continues with epoch 3's order
+    assert [b["x"][:, 0, 0].tolist() for b in resumed] == fresh[3]
+
+
 def test_loader_sequential_no_drop():
     dl = DataLoader(_ToyDataset(5), batch_size=2, shuffle=False,
                     num_workers=0, drop_last=False)
