@@ -70,3 +70,30 @@ def test_syn_crop_mode():
     assert s["image_color"].shape == (48, 48, 3)
     assert s["depth"].shape == (48, 48, 3)
     assert s["label"].shape == (48, 48)
+
+
+def test_cache_manifest_rejects_mismatched_params(tmp_path):
+    """A render cache remembers base_seed / object-count range
+    (params.json); opening it with different scene parameters must raise
+    instead of silently serving the old distribution."""
+    import pytest
+
+    from unseenobjectclustering_tpu.data.synthetic import (
+        SyntheticTabletopDataset)
+
+    cfg = small_cfg()
+    d1 = SyntheticTabletopDataset("test", cfg, cache_dir=str(tmp_path))
+    d1.get_scene(0)  # renders + writes scene and manifest
+    # same params: reads back fine
+    d2 = SyntheticTabletopDataset("test", cfg, cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(d2.get_scene(0)[2], d1.get_scene(0)[2])
+    # different object range: refused
+    d3 = SyntheticTabletopDataset("test", cfg, cache_dir=str(tmp_path),
+                                  max_objects=9)
+    with pytest.raises(ValueError, match="render cache"):
+        d3.get_scene(0)
+    # different base seed: refused
+    d4 = SyntheticTabletopDataset("test", cfg, cache_dir=str(tmp_path),
+                                  base_seed=11)
+    with pytest.raises(ValueError, match="render cache"):
+        d4.get_scene(0)
