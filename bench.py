@@ -101,9 +101,10 @@ def build_refine_pipeline(fast: bool, max_instances: int = 8,
             feats = model.apply(variables, img_i[None], xyz[None],
                                 train=False)
             res = mean_shift_smart_init(
-                feats.reshape(H * W, feats.shape[-1]), key, **ms_kw)
-            labels1 = filter_labels_depth(res.labels.reshape(H, W), xyz, 0.8,
-                                          max_labels=num_seeds + 1)
+                feats.reshape(H * W, feats.shape[-1]), key,
+                z_valid=(xyz[..., 2] > 0).reshape(H * W),
+                filter_threshold=0.8, **ms_kw)
+            labels1 = res.labels.reshape(H, W)
             crops = crop_rois(img_i, gt_labels, xyz,
                               max_instances=max_instances,
                               crop_size=crop_size)
@@ -165,9 +166,10 @@ def build_pipeline(fast: bool):
                 features.reshape(H * W, features.shape[-1]), key,
                 kappa=kappa, num_seeds=num_seeds, max_iters=max_iters,
                 epsilon=epsilon, metric="cosine", use_pallas=on_tpu,
-                seed_subsample=seed_subsample, compute_dtype=compute_dtype)
-            labels = filter_labels_depth(res.labels.reshape(H, W), xyz, 0.8,
-                                         max_labels=num_seeds + 1)
+                seed_subsample=seed_subsample, compute_dtype=compute_dtype,
+                z_valid=(xyz[..., 2] > 0).reshape(H * W),
+                filter_threshold=0.8)
+            labels = res.labels.reshape(H, W)
             return labels, ()
 
         labels, _ = jax.lax.scan(body, jnp.zeros((H, W), jnp.int32), keys)

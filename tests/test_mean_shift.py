@@ -172,17 +172,22 @@ def test_assign_pallas_matches_xla(rng):
                                        np.int32))
     want = np.asarray(assign_and_swap_background(jnp.asarray(x), seeds,
                                                  seed_labels))
-    labels, counts = assign_labels_pallas(jnp.asarray(x), seeds, seed_labels,
-                                          tile_n=128)
+    zv = (rng.rand(x.shape[0]) > 0.4).astype(np.float32)
+    labels, counts, valid_counts = assign_labels_pallas(
+        jnp.asarray(x), seeds, seed_labels, z_valid=jnp.asarray(zv),
+        tile_n=128)
     label_max = jnp.argmax(counts).astype(jnp.int32)
     got = jnp.where(labels == 0, label_max,
                     jnp.where(labels == label_max, 0, labels))
     got = np.asarray(jnp.where(label_max != 0, got, labels))
     np.testing.assert_array_equal(got, want)
-    # histogram matches a direct bincount of the pre-swap labels
+    # histograms match direct bincounts of the pre-swap labels
     pre = np.asarray(labels)
     np.testing.assert_array_equal(np.asarray(counts).astype(np.int64),
                                   np.bincount(pre, minlength=12))
+    np.testing.assert_allclose(
+        np.asarray(valid_counts),
+        np.bincount(pre, weights=zv, minlength=12), atol=1e-3)
 
 
 def test_connected_components_matches_oracle(rng):
@@ -261,3 +266,28 @@ def test_full_pipeline_cat_fusion_dim(rng):
                                num_seeds=20, max_iters=10, epsilon=0.04,
                                use_pallas=True)
     np.testing.assert_array_equal(labels, np.asarray(r2.labels))
+
+
+def test_fused_depth_filter_matches_unfused(rng):
+    """mean_shift_smart_init(z_valid, filter_threshold) == clustering then
+    ops.roi.filter_labels_depth, on both the Pallas and XLA routes."""
+    from unseenobjectclustering_tpu.ops.roi import filter_labels_depth
+
+    x, _, _ = make_clustered_data(rng, n_per=150, d=16, spread=0.03)
+    n = x.shape[0]
+    zv = (rng.rand(n) > 0.45).astype(np.float32)
+    xyz = np.zeros((n, 1, 3), np.float32)
+    xyz[:, 0, 2] = zv
+    for use_pallas in (False, True):
+        base = mean_shift_smart_init(
+            jnp.asarray(x), jax.random.key(1), kappa=20.0, num_seeds=20,
+            max_iters=10, epsilon=0.04, use_pallas=use_pallas)
+        want = np.asarray(filter_labels_depth(
+            base.labels.reshape(n, 1), jnp.asarray(xyz), 0.6,
+            max_labels=21)).reshape(n)
+        fused = mean_shift_smart_init(
+            jnp.asarray(x), jax.random.key(1), kappa=20.0, num_seeds=20,
+            max_iters=10, epsilon=0.04, use_pallas=use_pallas,
+            z_valid=jnp.asarray(zv), filter_threshold=0.6)
+        np.testing.assert_array_equal(np.asarray(fused.labels), want,
+                                      err_msg=f"pallas={use_pallas}")

@@ -109,10 +109,10 @@ def main():
 
     def stage_filter(bgr_i, depth, intr, key):
         x, xyz = _feats(bgr_i, depth, intr)
-        res = mean_shift_smart_init(x, key, **ms_kw)
-        labels = filter_labels_depth(res.labels.reshape(H, W), xyz, 0.8,
-                                     max_labels=num_seeds + 1)
-        return labels.sum().astype(jnp.float32), None
+        res = mean_shift_smart_init(x, key,
+                                    z_valid=(xyz[..., 2] > 0).reshape(H * W),
+                                    filter_threshold=0.8, **ms_kw)
+        return res.labels.sum().astype(jnp.float32), None
 
     rng = np.random.RandomState(3)
     bgr = jnp.asarray(rng.randint(0, 255, size=(H, W, 3)), jnp.uint8)

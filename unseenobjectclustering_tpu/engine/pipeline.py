@@ -50,22 +50,36 @@ class SegmentationResult(NamedTuple):
     timing: dict
 
 
-def _cluster_batch(features: jax.Array, keys: jax.Array, **ms_kw) -> jax.Array:
+def _cluster_batch(features: jax.Array, keys: jax.Array,
+                   z_valid: Optional[jax.Array] = None,
+                   filter_threshold: float = 0.0, **ms_kw) -> jax.Array:
     """Mean-shift cluster each image's pixel embeddings.
 
     features: [B, H, W, C]; keys: [B] PRNG keys.  Returns [B, H, W] int32.
     Sequential lax.map over the batch: each image's clustering already
     saturates the chip (307k x 100 similarity), so batching them would only
-    multiply peak memory.
+    multiply peak memory.  z_valid [B, H, W] + filter_threshold fuse the
+    depth-validity filter into the assignment kernel's X sweep.
     """
     b, h, w, c = features.shape
 
-    def one(args):
-        feat, k = args
-        res = mean_shift_smart_init(feat.reshape(h * w, c), k, **ms_kw)
+    if z_valid is None:
+        def one(args):
+            feat, k = args
+            res = mean_shift_smart_init(feat.reshape(h * w, c), k, **ms_kw)
+            return res.labels.reshape(h, w)
+
+        return jax.lax.map(one, (features, keys))
+
+    def one_filtered(args):
+        feat, k, zv = args
+        res = mean_shift_smart_init(feat.reshape(h * w, c), k,
+                                    z_valid=zv.reshape(h * w),
+                                    filter_threshold=filter_threshold,
+                                    **ms_kw)
         return res.labels.reshape(h, w)
 
-    return jax.lax.map(one, (features, keys))
+    return jax.lax.map(one_filtered, (features, keys, z_valid))
 
 
 def _cluster_crops(features: jax.Array, valid: jax.Array, keys: jax.Array,
@@ -158,15 +172,16 @@ class Segmentor:
         """img/xyz: [B, H, W, 3], keys: [B] -> (features [B,H,W,C],
         labels [B,H,W])."""
         features = self.model.apply(variables, img, xyz, train=False)
-        labels = _cluster_batch(features, keys, **(ms_kw or self._ms_kw))
         if xyz is not None and threshold > 0:
-            # labels range over cluster ids, bounded by the seed count
-            # (NOT by MAX_INSTANCES, which only pads the zoom-in stage)
-            max_labels = int(self._ms_kw["num_seeds"]) + 1
-            labels = jax.vmap(
-                lambda l, d: filter_labels_depth(
-                    l, d, threshold, max_labels=max_labels)
-            )(labels, xyz)
+            # depth filter fused into the assignment kernel's X sweep
+            # (z_valid histograms ride along; no separate one-hot pass)
+            labels = _cluster_batch(features, keys,
+                                    z_valid=(xyz[..., 2] > 0),
+                                    filter_threshold=float(threshold),
+                                    **(ms_kw or self._ms_kw))
+        else:
+            labels = _cluster_batch(features, keys,
+                                    **(ms_kw or self._ms_kw))
         return features, labels
 
     def make_sharded_stage1(self, mesh, axis_name: str = "data"):

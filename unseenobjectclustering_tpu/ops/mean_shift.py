@@ -293,14 +293,16 @@ def assign_and_swap_background(x: jax.Array, seeds: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=(
     "kappa", "num_seeds", "max_iters", "epsilon", "metric", "use_pallas",
-    "seed_subsample", "compute_dtype"))
+    "seed_subsample", "compute_dtype", "filter_threshold"))
 def mean_shift_smart_init(x: jax.Array, key: jax.Array, *, kappa: float = 20.0,
                           num_seeds: int = 100, max_iters: int = 10,
                           epsilon: float = 0.04, metric: str = "cosine",
                           use_pallas: bool = True,
                           first_index: Optional[jax.Array] = None,
                           seed_subsample: int = 1,
-                          compute_dtype: str = "float32"
+                          compute_dtype: str = "float32",
+                          z_valid: Optional[jax.Array] = None,
+                          filter_threshold: float = 0.0
                           ) -> MeanShiftResult:
     """Full mean-shift pipeline (mean_shift.py:192-229), jit-compiled.
 
@@ -314,6 +316,11 @@ def mean_shift_smart_init(x: jax.Array, key: jax.Array, *, kappa: float = 20.0,
         (cfg.CLUSTER.SEED_SUBSAMPLE; 1 = reference parity).
       compute_dtype: dtype for the similarity matmuls ('float32' or
         'bfloat16'); seed merging and normalization stay float32.
+      z_valid + filter_threshold: fused depth-validity filter
+        (test_dataset.py:183-198): drop clusters whose fraction of
+        z_valid pixels is below the threshold, without the separate
+        one-hot histogram pass of ops.roi.filter_labels_depth — the
+        per-cluster validity counts ride the assignment kernel's X sweep.
     """
     xc = x.astype(jnp.bfloat16) if compute_dtype == "bfloat16" else x
     x_seed = xc[::seed_subsample] if seed_subsample > 1 else xc
@@ -344,16 +351,37 @@ def mean_shift_smart_init(x: jax.Array, key: jax.Array, *, kappa: float = 20.0,
             hill_climb_pallas)
         z = hill_climb_pallas(xc, seeds, kappa=kappa, max_iters=max_iters)
         seed_labels = connected_components_pallas(z, epsilon)
-        # fused assignment + histogram (one X pass), then the
+        # fused assignment + histograms (one X pass), then the
         # largest-cluster -> background relabel (mean_shift.py:217-227)
-        labels, counts = assign_labels_pallas(xc, z, seed_labels)
+        labels, counts, valid_counts = assign_labels_pallas(
+            xc, z, seed_labels, z_valid=z_valid)
         label_max = jnp.argmax(counts).astype(jnp.int32)
         swapped = jnp.where(labels == 0, label_max,
                             jnp.where(labels == label_max, 0, labels))
         labels = jnp.where(label_max != 0, swapped, labels)
+        if z_valid is not None and filter_threshold > 0:
+            # per-cluster validity fraction is relabel-invariant; permute
+            # the keep mask through the background swap and zero the rest
+            keep = (valid_counts / jnp.maximum(counts, 1.0)
+                    >= filter_threshold)
+            keep = jnp.where(label_max != 0,
+                             keep.at[label_max].set(keep[0]), keep)
+            keep = keep.at[0].set(True)  # background always kept
+            labels = jnp.where(keep[labels], labels, 0)
     else:
         z = hill_climb_xla(xc, seeds, kappa, max_iters, metric)
         seed_labels = connected_components(z, epsilon, metric)
         labels = assign_and_swap_background(xc, z, seed_labels, metric)
+        if z_valid is not None and filter_threshold > 0:
+            from unseenobjectclustering_tpu.ops.roi import (
+                filter_labels_depth)
+            hw = labels.shape[0]
+            lab2d = labels.reshape(hw, 1)
+            xyz2d = jnp.stack([jnp.zeros((hw, 1)), jnp.zeros((hw, 1)),
+                               z_valid.reshape(hw, 1).astype(jnp.float32)],
+                              axis=-1)
+            labels = filter_labels_depth(lab2d, xyz2d, filter_threshold,
+                                         max_labels=num_seeds + 1
+                                         ).reshape(hw)
     return MeanShiftResult(labels=labels, seed_indices=seed_indices, seeds=z,
                            seed_labels=seed_labels)

@@ -230,8 +230,8 @@ def connected_components_pallas(z: jax.Array, epsilon: float,
     return out[0, :m]
 
 
-def _assign_kernel(xt_ref, z_ref, slab_ref, lab_ref, cnt_ref, cnt_acc, *,
-                   m: int, n: int, n_tiles: int):
+def _assign_kernel(xt_ref, z_ref, slab_ref, zv_ref, lab_ref, cnt_ref,
+                   cnt_acc, *, m: int, n: int, n_tiles: int):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -260,11 +260,15 @@ def _assign_kernel(xt_ref, z_ref, slab_ref, lab_ref, cnt_ref, cnt_acc, *,
     clab_i = clab.astype(jnp.int32)
     lab_ref[:] = clab_i
 
-    # histogram of cluster labels over valid pixels
+    # histograms of cluster labels over in-range pixels: column 0 = pixel
+    # count per cluster id, column 1 = valid-depth pixel count (fuses the
+    # depth filter's 62 MB one-hot pass into this same X sweep,
+    # test_dataset.py:183-198)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
     valid = (j * tile_n + col) < n                               # [1, T]
     hot = ((row == clab_i) & valid).astype(jnp.float32)          # [M_pad, T]
     cnt_acc[:, 0:1] += jnp.sum(hot, axis=1, keepdims=True)
+    cnt_acc[:, 1:2] += jnp.sum(hot * zv_ref[:], axis=1, keepdims=True)
 
     @pl.when(j == n_tiles - 1)
     def _finish():
@@ -273,18 +277,25 @@ def _assign_kernel(xt_ref, z_ref, slab_ref, lab_ref, cnt_ref, cnt_acc, *,
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
 def assign_labels_pallas(x: jax.Array, seeds: jax.Array,
-                         seed_labels: jax.Array, tile_n: int = 8192,
+                         seed_labels: jax.Array,
+                         z_valid: jax.Array | None = None,
+                         tile_n: int = 8192,
                          interpret: bool | None = None
-                         ) -> tuple[jax.Array, jax.Array]:
-    """Fused nearest-seed assignment + cluster histogram (cosine metric).
+                         ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused nearest-seed assignment + cluster histograms (cosine metric).
 
     Args:
       x: [n, d] unit vectors.
       seeds: [m, d] converged seeds.
       seed_labels: [m] int32 cluster ids from connected components.
+      z_valid: optional [n] float32 validity mask (e.g. depth z > 0);
+        its per-cluster sum comes out in the same X sweep, so the depth
+        filter needs no separate one-hot pass.
     Returns:
       (labels [n] int32 cluster ids (pre-background-swap),
-       counts [m] float32 cluster-id histogram over the n pixels).
+       counts [m] float32 cluster-id histogram over the n pixels,
+       valid_counts [m] float32 histogram of z_valid (== counts when
+       z_valid is None)).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -300,6 +311,11 @@ def assign_labels_pallas(x: jax.Array, seeds: jax.Array,
         seeds.astype(jnp.float32))
     slab = jnp.zeros((1, m_pad), jnp.int32).at[0, :m].set(
         seed_labels.astype(jnp.int32))
+    if z_valid is None:
+        zv = jnp.ones((1, n_pad), jnp.float32)
+    else:
+        zv = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(
+            z_valid.astype(jnp.float32))
     n_tiles = n_pad // tile_n
 
     labels, counts = pl.pallas_call(
@@ -311,6 +327,8 @@ def assign_labels_pallas(x: jax.Array, seeds: jax.Array,
             pl.BlockSpec((m_pad, d_sub), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m_pad), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -325,10 +343,10 @@ def assign_labels_pallas(x: jax.Array, seeds: jax.Array,
         ),
         scratch_shapes=[pltpu.VMEM((m_pad, 128), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * m_pad * d_sub + 2 * n_pad * m_pad,
-            bytes_accessed=n_pad * d_sub * x.dtype.itemsize,
+            flops=2 * n_pad * m_pad * d_sub + 4 * n_pad * m_pad,
+            bytes_accessed=(n_pad * d_sub * x.dtype.itemsize + 4 * n_pad),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xt, zp, slab)
-    return labels[0, :n], counts[:m, 0]
+    )(xt, zp, slab, zv)
+    return labels[0, :n], counts[:m, 0], counts[:m, 1]
