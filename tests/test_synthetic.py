@@ -97,3 +97,13 @@ def test_cache_manifest_rejects_mismatched_params(tmp_path):
                                   base_seed=11)
     with pytest.raises(ValueError, match="render cache"):
         d4.get_scene(0)
+    # the guard must keep firing: a caught mismatch on the first call must
+    # not mark the manifest as checked
+    with pytest.raises(ValueError, match="render cache"):
+        d4.get_scene(1)
+    # public entry for direct-cache readers (data.resident) hits the same
+    # guard without touching get_scene
+    d5 = SyntheticTabletopDataset("test", cfg, cache_dir=str(tmp_path),
+                                  base_seed=11)
+    with pytest.raises(ValueError, match="render cache"):
+        d5.check_cache_manifest()

@@ -95,3 +95,18 @@ def test_load_resident_scenes_roundtrip(tmp_path):
     assert b.shape == (2, H, W, 3) and d.dtype == np.uint16
     np.testing.assert_array_equal(np.asarray(b), bgr[:2])
     np.testing.assert_array_equal(np.asarray(l), label[:2])
+
+
+def test_load_resident_scenes_rejects_partial_cache(tmp_path):
+    """With a requested count, a partially-populated cache must raise
+    rather than silently shrink + re-map index->scene (which would break
+    the streaming<->resident data-order parity)."""
+    import pytest
+
+    bgr, depth, label = _scenes(np.random.RandomState(2), n=3)
+    # populate scenes 0 and 2 — scene 1 missing (lazily-filled cache)
+    for i in (0, 2):
+        np.savez(os.path.join(tmp_path, f"{i:06d}.npz"), bgr=bgr[i],
+                 depth_mm=depth[i], label=label[i])
+    with pytest.raises(FileNotFoundError, match="000001.npz"):
+        load_resident_scenes(str(tmp_path), limit=3)

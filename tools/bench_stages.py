@@ -45,9 +45,7 @@ def main():
     from unseenobjectclustering_tpu.config import Config
     from unseenobjectclustering_tpu.models import get_network
     from unseenobjectclustering_tpu.ops.mean_shift import (
-        MeanShiftResult, mean_shift_smart_init, select_smart_seeds_lazy)
-    from unseenobjectclustering_tpu.ops.pallas_seeding import (
-        select_seeds_pallas)
+        MeanShiftResult, mean_shift_smart_init, select_seeds_dispatch)
     from unseenobjectclustering_tpu.ops.preprocess import preprocess_rgbd
     from unseenobjectclustering_tpu.ops.roi import filter_labels_depth
 
@@ -91,15 +89,10 @@ def main():
         x, _ = _feats(bgr_i, depth, intr)
         xc = (x.astype(jnp.bfloat16) if ms_kw["compute_dtype"] == "bfloat16"
               else x)
-        x_seed = xc[::sub] if sub > 1 else xc
-        vmem = x_seed.shape[0] * x_seed.shape[1] * x_seed.dtype.itemsize
-        if on_tpu and vmem <= 8 * 2 ** 20:
-            first = jax.random.randint(key, (), 0, x_seed.shape[0])
-            seeds, _ = select_seeds_pallas(x_seed, ms_kw["num_seeds"],
-                                           first.astype(jnp.int32))
-        else:
-            seeds, _ = select_smart_seeds_lazy(x_seed, ms_kw["num_seeds"],
-                                               key, None)
+        # single authority for kernel routing — times the production path
+        seeds, _ = select_seeds_dispatch(
+            xc, ms_kw["num_seeds"], key, metric="cosine", use_pallas=on_tpu,
+            seed_subsample=sub)
         return seeds.sum().astype(jnp.float32), None
 
     def stage_climb(bgr_i, depth, intr, key):

@@ -58,7 +58,7 @@ def main():
         depth_threshold_for, evaluate_dataset)
 
     cfg = (Config.from_yaml(args.cfg_file) if args.cfg_file
-           else Config.default())
+           else Config.inference_default())
     cfg = cfg.replace(MODE="TEST")
     if args.fast:
         cfg = cfg.replace(CLUSTER={"DTYPE": "bfloat16", "SEED_SUBSAMPLE": 4})

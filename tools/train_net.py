@@ -121,9 +121,18 @@ def main():
     variables = load_network_variables(cfg, args.network_name,
                                        args.pretrained, *sample_hw)
     import jax.numpy as jnp
+    # the optimizer's MultiStepLR milestones are baked into state.tx in
+    # epoch units x steps/epoch — use the RESIDENT steps/epoch when
+    # --resident-limit (or a smaller cache) shrinks the epoch, so the
+    # applied schedule matches the one train_epochs_resident logs
+    if args.device_resident:
+        n_res = args.resident_limit or len(dataset)
+        steps_per_epoch = max(n_res // batch, 1)
+    else:
+        steps_per_epoch = len(loader)
     state = create_train_state(
         cfg, network_name=args.network_name, solver=args.solver,
-        steps_per_epoch=len(loader), start_epoch=args.startepoch,
+        steps_per_epoch=steps_per_epoch, start_epoch=args.startepoch,
         height=sample_hw[0], width=sample_hw[1], variables=variables,
         model_dtype=jnp.bfloat16 if args.bf16 else None)
     if args.resume:
@@ -159,6 +168,9 @@ def main():
             "--device-resident needs an on-disk scene cache: pass "
             "--render-cache DIR (see tools/render_dataset.py)")
         scene_dir = os.path.dirname(dataset._scene_path(0))
+        # same params.json guard the streaming path applies in get_scene:
+        # refuse a cache rendered under different scene parameters
+        dataset.check_cache_manifest()
         scenes = load_resident_scenes(
             scene_dir, limit=args.resident_limit or len(dataset), mesh=mesh)
         n_res = int(scenes[0].shape[0])

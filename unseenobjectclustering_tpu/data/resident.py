@@ -30,15 +30,31 @@ def load_resident_scenes(cache_dir: str, limit: Optional[int] = None,
                          mesh=None):
     """Read every cached scene into three device arrays (one-time upload).
 
+    When `limit` is given, scenes are addressed BY INDEX (`000000.npz` ..
+    `{limit-1:06d}.npz`) and every file must exist — a partially-populated
+    cache raises instead of silently shrinking the dataset and re-mapping
+    index->scene (which would break the streaming<->resident resume-order
+    parity that RandomState(seed+epoch) shuffles rely on).
+
     Returns (bgr [N,H,W,3] u8, depth_mm [N,H,W] u16, label [N,H,W] u8) as
     committed jax arrays — replicated over `mesh` if given, else on the
     default device.
     """
     import jax
 
-    files = sorted(glob.glob(os.path.join(cache_dir, "*.npz")))
     if limit is not None:
-        files = files[:limit]
+        files = [os.path.join(cache_dir, f"{i:06d}.npz")
+                 for i in range(limit)]
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            raise FileNotFoundError(
+                f"render cache {cache_dir} holds only "
+                f"{limit - len(missing)} of the {limit} requested scenes "
+                f"(first missing: {os.path.basename(missing[0])}); "
+                "re-render with tools/render_dataset.py or lower "
+                "--resident-limit")
+    else:
+        files = sorted(glob.glob(os.path.join(cache_dir, "*.npz")))
     if not files:
         raise FileNotFoundError(f"no cached scenes in {cache_dir}")
     first = np.load(files[0])

@@ -560,7 +560,6 @@ class SyntheticTabletopDataset(_DatasetBase):
         import os
         if self._manifest_checked:
             return
-        self._manifest_checked = True
         params = {"base_seed": int(self.base_seed),
                   "min_objects": int(self.min_objects),
                   "max_objects": int(self.max_objects)}
@@ -579,6 +578,18 @@ class SyntheticTabletopDataset(_DatasetBase):
             with open(tmp, "w") as fh:
                 json.dump(params, fh)
             os.replace(tmp, mpath)
+        # only mark verified on success: a caught mismatch must re-raise on
+        # the next call, not silently serve the mismatched cache
+        self._manifest_checked = True
+
+    def check_cache_manifest(self) -> None:
+        """Public manifest guard for callers that read the cache directly
+        (e.g. data.resident.load_resident_scenes) instead of via
+        get_scene."""
+        import os
+        if not self.cache_dir:
+            return
+        self._check_cache_manifest(os.path.dirname(self._scene_path(0)))
 
     def get_scene(self, idx: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Deterministic scene for `idx`: (bgr uint8, depth_mm uint16,

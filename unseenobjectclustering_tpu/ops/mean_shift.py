@@ -291,6 +291,44 @@ def assign_and_swap_background(x: jax.Array, seeds: jax.Array,
     return jnp.where(label_max != 0, swapped, labels)
 
 
+def select_seeds_dispatch(xc: jax.Array, num_seeds: int, key: jax.Array, *,
+                          metric: str = "cosine", use_pallas: bool = True,
+                          first_index: Optional[jax.Array] = None,
+                          seed_subsample: int = 1
+                          ) -> tuple[jax.Array, jax.Array]:
+    """Route farthest-point seeding to the right implementation.
+
+    One authority for the kernel choice (also used by tools/bench_stages.py,
+    so the benchmark times exactly the production route):
+      * X fits the 8 MB VMEM budget  -> fully fused Pallas kernel
+      * too big but n > 65536        -> exact lazy-bound blocked selection
+      * otherwise                    -> plain select_smart_seeds
+    All three share the argmax selection semantics of the reference's
+    select_smart_seeds (mean_shift.py:128-189).
+    """
+    x_seed = xc[::seed_subsample] if seed_subsample > 1 else xc
+    vmem_bytes = x_seed.shape[0] * x_seed.shape[1] * x_seed.dtype.itemsize
+    if metric == "cosine" and use_pallas and vmem_bytes <= 8 * 2 ** 20:
+        # whole farthest-point loop fused in one kernel, X resident in VMEM
+        from unseenobjectclustering_tpu.ops.pallas_seeding import (
+            select_seeds_pallas)
+        if first_index is None:
+            first_index = jax.random.randint(key, (), 0, x_seed.shape[0])
+        seeds, seed_indices = select_seeds_pallas(
+            x_seed, num_seeds, first_index.astype(jnp.int32))
+        return seeds, seed_indices * seed_subsample
+    if metric == "cosine" and x_seed.shape[0] > 65536:
+        # full-resolution (stride-1) seeding: X cannot be VMEM-resident, so
+        # use the exact lazy-bound blocked selection — identical argmax
+        # semantics, a fraction of the HBM traffic (23 -> ~7 ms/frame on
+        # v5e at 307k pixels)
+        seeds, seed_indices = select_smart_seeds_lazy(x_seed, num_seeds, key,
+                                                      first_index)
+        return seeds, seed_indices * seed_subsample
+    return select_smart_seeds(xc, num_seeds, key, metric, first_index,
+                              seed_subsample)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "kappa", "num_seeds", "max_iters", "epsilon", "metric", "use_pallas",
     "seed_subsample", "compute_dtype", "filter_threshold"))
@@ -323,28 +361,9 @@ def mean_shift_smart_init(x: jax.Array, key: jax.Array, *, kappa: float = 20.0,
         per-cluster validity counts ride the assignment kernel's X sweep.
     """
     xc = x.astype(jnp.bfloat16) if compute_dtype == "bfloat16" else x
-    x_seed = xc[::seed_subsample] if seed_subsample > 1 else xc
-    vmem_bytes = x_seed.shape[0] * x_seed.shape[1] * x_seed.dtype.itemsize
-    if metric == "cosine" and use_pallas and vmem_bytes <= 8 * 2 ** 20:
-        # whole farthest-point loop fused in one kernel, X resident in VMEM
-        from unseenobjectclustering_tpu.ops.pallas_seeding import (
-            select_seeds_pallas)
-        if first_index is None:
-            first_index = jax.random.randint(key, (), 0, x_seed.shape[0])
-        seeds, seed_indices = select_seeds_pallas(
-            x_seed, num_seeds, first_index.astype(jnp.int32))
-        seed_indices = seed_indices * seed_subsample
-    elif metric == "cosine" and x_seed.shape[0] > 65536:
-        # full-resolution (stride-1) seeding: X cannot be VMEM-resident, so
-        # use the exact lazy-bound blocked selection — identical argmax
-        # semantics, a fraction of the HBM traffic (23 -> ~7 ms/frame on
-        # v5e at 307k pixels)
-        seeds, seed_indices = select_smart_seeds_lazy(x_seed, num_seeds, key,
-                                                      first_index)
-        seed_indices = seed_indices * seed_subsample
-    else:
-        seeds, seed_indices = select_smart_seeds(xc, num_seeds, key, metric,
-                                                 first_index, seed_subsample)
+    seeds, seed_indices = select_seeds_dispatch(
+        xc, num_seeds, key, metric=metric, use_pallas=use_pallas,
+        first_index=first_index, seed_subsample=seed_subsample)
     if metric == "cosine" and use_pallas:
         from unseenobjectclustering_tpu.ops.pallas_mean_shift import (
             assign_labels_pallas, connected_components_pallas,
