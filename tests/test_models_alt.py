@@ -112,3 +112,38 @@ def test_vgg_train_step_with_dropout_rng():
                               jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == step_before + 1
+
+
+def test_vgg_batch_norm_variant():
+    """VGG_BATCH_NORM=True mirrors the reference's batch_norm DSL flag
+    (SEG.py:28 -> unets.py:90-136): BN between every hidden conv/tconv
+    and its LeakyReLU.  The variant must create running batch_stats, train
+    through make_train_step (stats updated), and eval deterministically."""
+    from unseenobjectclustering_tpu.engine.train import (create_train_state,
+                                                         make_train_step)
+    cfg = Config.from_dict({"INPUT": "COLOR",
+                            "TRAIN": {"NUM_UNITS": 8,
+                                      "VGG_BATCH_NORM": True}})
+    model = get_network("seg_vgg_embedding", cfg, num_units=8)
+    img = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
+                      jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, None, train=False)
+    assert "batch_stats" in variables  # BN layers present
+    out = model.apply(variables, img, None, train=False)
+    assert out.shape == (1, 64, 64, 8)
+
+    state = create_train_state(cfg, network_name="seg_vgg_embedding",
+                               height=32, width=32)
+    # materialize: the jitted step donates state buffers
+    stats_before = [np.asarray(x)
+                    for x in jax.tree_util.tree_leaves(state.batch_stats)]
+    assert stats_before, "BN variant must carry running stats"
+    step = make_train_step(cfg, max_k=4)
+    label = jnp.zeros((1, 32, 32), jnp.int32)
+    new_state, metrics = step(state, jnp.zeros((1, 32, 32, 3), jnp.float32),
+                              None, label, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    stats_after = jax.tree_util.tree_leaves(new_state.batch_stats)
+    changed = any(not np.allclose(np.asarray(a), np.asarray(b))
+                  for a, b in zip(stats_before, stats_after))
+    assert changed, "train step must update BN running stats"

@@ -160,6 +160,9 @@ _TRAIN_DEFAULTS: dict[str, Any] = {
     "EMBEDDING_LOSS_WEIGHT_MATCH": 1.0,
     "EMBEDDING_LOSS_WEIGHT_NONMATCH": 1.0,
     "EMBEDDING_LOSS_WEIGHT_BACKGROUND": 1.0,
+    # VGG/U-Net DSL batch_norm flag (SEG.py:28 constructor arg; the
+    # reference never sets it from a recipe, so the default matches)
+    "VGG_BATCH_NORM": False,
     # region-refinement mask-augmentation distributions (lib/fcn/config.py:267-307)
     "max_augmentation_tries": 10,
     "padding_alpha": 1.0,

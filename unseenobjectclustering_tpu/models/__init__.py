@@ -35,6 +35,7 @@ def _segnet(network_name: str, cfg: Config, num_units: int,
         fusion_type=fusion_override or cfg.TRAIN.FUSION_TYPE,
         num_units=num_units,
         normalize=bool(cfg.TRAIN.EMBEDDING_NORMALIZATION),
+        batch_norm=bool(cfg.TRAIN.VGG_BATCH_NORM),
         dtype=dtype,
     )
 

@@ -51,6 +51,7 @@ class SEGNET(nn.Module):
     fusion_type: str = "add"       # early | add | cat
     num_units: int = 64
     normalize: bool = True
+    batch_norm: bool = False       # VGG DSL batch_norm flag (SEG.py:28)
     dtype: Any = jnp.float32
 
     def _make_backbone(self, name: str) -> nn.Module:
@@ -68,7 +69,8 @@ class SEGNET(nn.Module):
                                  name=name)
         if self.network_name == "vgg":
             from unseenobjectclustering_tpu.models.unets import VGGEmbedding
-            return VGGEmbedding(num_units=self.num_units, dtype=self.dtype,
+            return VGGEmbedding(num_units=self.num_units,
+                                batch_norm=self.batch_norm, dtype=self.dtype,
                                 name=name)
         raise ValueError(f"unknown network_name: {self.network_name}")
 

@@ -156,14 +156,32 @@ class VGGEmbedding(nn.Module):
     Encoder: conv3x3+LeakyReLU(0.2) stacks with 2x2 maxpools per the 'M'
     tokens; decoder: transpose-conv 4x4 s2 upsamples per 'dN' tokens, dropout
     per 'D', and a final linear conv (no activation) for the embedding.
+
+    batch_norm mirrors the reference's make_encoder/decoder_layers flag
+    (unets.py:90-136, plumbed from SEG.py:28): BatchNorm between each
+    conv/tconv and its LeakyReLU.  Deviation: with batch_norm=True the
+    reference also wraps the FINAL embedding conv in BN+LeakyReLU
+    (unets.py:127-129 has no last-layer exception in that branch), which
+    would clamp the embedding to the positive orthant before L2
+    normalization; here the final conv stays linear in both modes.
+    Without normalization layers the 20-conv stack trains extremely
+    slowly (see docs/synthetic_experiment.md), so the BN variant is the
+    one worth training.
     """
 
     num_units: int = 64
+    batch_norm: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        def bn(x, i):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=self.dtype,
+                                param_dtype=jnp.float32, name=f"bn{i}")(x)
+
         idx = 0
+        nrm = 0
         for v in VGG_ENCODER_ARCH:
             if v == "M":
                 x = _maxpool2x2(x)
@@ -171,6 +189,9 @@ class VGGEmbedding(nn.Module):
                 x = nn.Conv(int(v), (3, 3), padding=((1, 1), (1, 1)),
                             dtype=self.dtype, param_dtype=jnp.float32,
                             name=f"enc_conv{idx}")(x)
+                if self.batch_norm:
+                    x = bn(x, nrm)
+                    nrm += 1
                 x = nn.leaky_relu(x, negative_slope=0.2)
                 idx += 1
         arch = vgg_decoder_arch(self.num_units)
@@ -185,6 +206,9 @@ class VGGEmbedding(nn.Module):
                                      dtype=self.dtype,
                                      param_dtype=jnp.float32,
                                      name=f"dec_tconv{idx}")(x)
+                if self.batch_norm:
+                    x = bn(x, nrm)
+                    nrm += 1
                 x = nn.leaky_relu(x, negative_slope=0.2)
                 idx += 1
             elif isinstance(v, str) and v[0] == "D":
@@ -194,6 +218,9 @@ class VGGEmbedding(nn.Module):
                             dtype=self.dtype, param_dtype=jnp.float32,
                             name=f"dec_conv{idx}")(x)
                 if not last:
+                    if self.batch_norm:
+                        x = bn(x, nrm)
+                        nrm += 1
                     x = nn.leaky_relu(x, negative_slope=0.2)
                 idx += 1
         return x
