@@ -15,7 +15,12 @@ tunnel costs ~85 ms/frame of pure RPC overhead).
 
 Default mode is the production-fast configuration (bfloat16 conv stack +
 bfloat16 similarity matmuls + stride-4 farthest-point seeding); pass
---parity for the reference-exact float32 / full-seeding path.
+--parity for the reference-exact float32 / full-seeding path.  --refine
+adds the stage-2 zoom-in (optionally --crop-size 128 for the fast
+128^2-trained crop net); --batch N measures aggregate multi-frame
+serving throughput (measured on v5e: B=1 already saturates the chip —
+87 fps at B=4 vs 92 single-frame — so the default single-frame number
+is also the throughput ceiling).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is measured fps / 60 — the north-star target of

@@ -96,3 +96,30 @@ def test_epoch_addressable_checkpoint(tmp_path):
         np.array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(jax.tree_util.tree_leaves(v2["params"]), params_e1))
     assert not same
+
+
+def test_restore_checkpoint_epoch_addressed_dir(tmp_path):
+    """restore_checkpoint('mgr_dir/N') == restore_checkpoint(mgr_dir, N) —
+    the form tools/train_net.py --resume receives when a user points at a
+    snapshot path printed by training."""
+    from unseenobjectclustering_tpu.utils.checkpoint import (
+        restore_checkpoint, save_checkpoint)
+
+    cfg = small_cfg()
+    step = make_train_step(cfg, max_k=8)
+    state = create_train_state(cfg, network_name="seg_resnet34_8s_embedding",
+                               height=16, width=16)
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, 1, state)
+    params_e1 = [np.asarray(x)
+                 for x in jax.tree_util.tree_leaves(state.params)]
+    state, _ = step(state, *_batch(0))
+    save_checkpoint(ckpt_dir, 2, state)
+
+    restored, got_step = restore_checkpoint(f"{ckpt_dir}/1")
+    assert got_step == 1
+    for a, b in zip(jax.tree_util.tree_leaves(restored["params"]),
+                    params_e1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    _, latest = restore_checkpoint(ckpt_dir)
+    assert latest == 2

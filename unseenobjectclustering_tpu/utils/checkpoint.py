@@ -354,10 +354,25 @@ def restore_checkpoint(directory: str | os.PathLike,
                        step: Optional[int] = None,
                        target: Optional[Any] = None) -> Any:
     """Restore the latest (or given) step; `target` provides the tree
-    structure/shardings (a template TrainState)."""
+    structure/shardings (a template TrainState).
+
+    `directory` may also be an epoch-addressed step dir `mgr_dir/N` (the
+    form save_checkpoint returns and load_network_variables accepts) —
+    equivalent to (mgr_dir, step=N).
+    """
     import orbax.checkpoint as ocp
 
     directory = os.path.abspath(directory)
+    base = os.path.basename(os.path.normpath(directory))
+    if base.isdigit() and os.path.isdir(directory) and step is None:
+        # a digit-named dir that itself holds digit step dirs IS a manager
+        # dir (a run the user named "16"), not a step reference
+        has_step_dirs = any(
+            e.isdigit() and os.path.isdir(os.path.join(directory, e))
+            for e in os.listdir(directory))
+        if not has_step_dirs:
+            step = int(base)
+            directory = os.path.dirname(os.path.normpath(directory))
     with ocp.CheckpointManager(directory) as mgr:
         step = step if step is not None else mgr.latest_step()
         if step is None:
