@@ -144,3 +144,31 @@ def test_multistep_schedule():
                                 steps_per_epoch=10, start_epoch=3)
     assert float(sched2(5)) == pytest.approx(1.0)
     assert float(sched2(10)) == pytest.approx(0.1)
+
+
+def test_state_schedule_is_the_applied_schedule():
+    """TrainState.schedule is the exact schedule baked into state.tx, so
+    the train loops log the lr the optimizer applies.  Convention check:
+    for an exact resume (absolute optimizer count), milestones built with
+    start_epoch=0 decay at the ABSOLUTE milestone step — previously the
+    loops rebuilt a schedule from a shifted start_epoch and logged decays
+    the optimizer was not applying (or vice versa)."""
+    cfg = small_cfg().replace(
+        TRAIN={**small_cfg().TRAIN.to_dict(), "MILESTONES": [2],
+               "GAMMA": 0.1})
+    spe = 10
+    state = create_train_state(cfg, network_name="seg_resnet34_8s_embedding",
+                               solver="sgd", steps_per_epoch=spe,
+                               start_epoch=0, height=16, width=16)
+    assert state.schedule is not None
+    lr = float(cfg.TRAIN.LEARNING_RATE)
+    # decay boundary at absolute step 2*spe
+    np.testing.assert_allclose(float(state.schedule(2 * spe - 1)), lr)
+    np.testing.assert_allclose(float(state.schedule(2 * spe + 1)), lr * 0.1)
+    # reference-style fresh-optimizer continue (--startepoch 1, count 0):
+    # milestone shifts to (2-1)*spe, matching the reference's
+    # [m - startepoch] arithmetic (tools/train_net.py:142)
+    state2 = create_train_state(cfg, network_name="seg_resnet34_8s_embedding",
+                                solver="sgd", steps_per_epoch=spe,
+                                start_epoch=1, height=16, width=16)
+    np.testing.assert_allclose(float(state2.schedule(spe + 1)), lr * 0.1)

@@ -130,9 +130,16 @@ def main():
         steps_per_epoch = max(n_res // batch, 1)
     else:
         steps_per_epoch = len(loader)
+    # Milestone convention must match the optimizer count convention:
+    #   --startepoch alone = reference-style continue from bare weights
+    #     (fresh optimizer count 0 -> milestones RELATIVE to startepoch,
+    #     tools/train_net.py:142 in the reference);
+    #   --resume = exact restore (optimizer count is the ABSOLUTE step ->
+    #     milestones stay absolute, start_epoch 0 in the schedule).
+    schedule_start = 0 if args.resume else args.startepoch
     state = create_train_state(
         cfg, network_name=args.network_name, solver=args.solver,
-        steps_per_epoch=steps_per_epoch, start_epoch=args.startepoch,
+        steps_per_epoch=steps_per_epoch, start_epoch=schedule_start,
         height=sample_hw[0], width=sample_hw[1], variables=variables,
         model_dtype=jnp.bfloat16 if args.bf16 else None)
     if args.resume:

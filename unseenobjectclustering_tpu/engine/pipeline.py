@@ -249,10 +249,11 @@ class Segmentor:
         inference' config).  Returns [B, H, W] int32."""
         if not hasattr(self, "_sharded_stage1_cache"):
             self._sharded_stage1_cache = {}
-        key = id(mesh)
-        if key not in self._sharded_stage1_cache:
-            self._sharded_stage1_cache[key] = self.make_sharded_stage1(mesh)
-        fn = self._sharded_stage1_cache[key]
+        # Mesh is hashable; keying on the object (not id()) keeps a live
+        # reference and can't alias a recycled address to a stale closure
+        if mesh not in self._sharded_stage1_cache:
+            self._sharded_stage1_cache[mesh] = self.make_sharded_stage1(mesh)
+        fn = self._sharded_stage1_cache[mesh]
         b = (image if image is not None else xyz).shape[0]
         keys = jax.random.split(self.next_key(), b)
         _, labels = fn(self.variables,

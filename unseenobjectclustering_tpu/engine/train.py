@@ -46,6 +46,11 @@ class TrainState:
     opt_state: Any
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
     apply_fn: Callable = flax.struct.field(pytree_node=False)
+    # the lr schedule baked into tx, kept so the train loops log the lr the
+    # optimizer actually applies (rebuilding it from possibly-different
+    # start_epoch/steps_per_epoch arguments caused logged != applied drift)
+    schedule: Optional[Callable] = flax.struct.field(pytree_node=False,
+                                                     default=None)
 
 
 def multistep_schedule(base_lr: float, milestones: Sequence[int], gamma: float,
@@ -117,12 +122,12 @@ def create_train_state(cfg: Config, *, network_name: str,
         xyz = (jnp.zeros((1, height, width, 3), jnp.float32)
                if cfg.INPUT != "COLOR" else None)
         variables = model.init(key, img, xyz, train=False)
-    tx, _ = make_optimizer(cfg, solver, steps_per_epoch, start_epoch)
+    tx, schedule = make_optimizer(cfg, solver, steps_per_epoch, start_epoch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       batch_stats=batch_stats, opt_state=tx.init(params),
-                      tx=tx, apply_fn=model.apply)
+                      tx=tx, apply_fn=model.apply, schedule=schedule)
 
 
 def loss_fn(params, batch_stats, apply_fn, img, xyz, label, *,
@@ -207,8 +212,10 @@ def train_epochs(cfg: Config, state: TrainState, dataloader, *,
 
     step_fn = make_train_step(cfg, max_k=max_k)
     step_fn_raw = None
-    _, schedule = make_optimizer(cfg, solver, max(len(dataloader), 1),
-                                 start_epoch)
+    # log the lr the optimizer actually applies (state.schedule is evaluated
+    # at the absolute state.step, same as optax does inside tx)
+    schedule = state.schedule or make_optimizer(
+        cfg, solver, max(len(dataloader), 1), start_epoch)[1]
     snapshot_epochs = snapshot_epochs or int(cfg.TRAIN.SNAPSHOT_EPOCHS)
 
     for epoch in range(start_epoch, epochs):
@@ -345,7 +352,8 @@ def train_epochs_resident(cfg: Config, state: TrainState, scenes, *,
     fx, fy, px, py = intrinsics
     step_fn = make_train_step_resident(cfg, fx=fx, fy=fy, px=px, py=py,
                                        max_k=max_k, crop=crop)
-    _, schedule = make_optimizer(cfg, solver, max(steps, 1), start_epoch)
+    schedule = state.schedule or make_optimizer(
+        cfg, solver, max(steps, 1), start_epoch)[1]
     snapshot_epochs = snapshot_epochs or int(cfg.TRAIN.SNAPSHOT_EPOCHS)
 
     for epoch in range(start_epoch, epochs):

@@ -262,11 +262,24 @@ def veto_and_order(labels_crop: jax.Array, mask_crops: jax.Array,
     """
     m, s, _ = labels_crop.shape
     lab = labels_crop.reshape(m, s * s)
-    msk = (mask_crops.reshape(m, s * s) > 0).astype(jnp.float32)
+    msk = (mask_crops.reshape(m, s * s) > 0)
     rows = jnp.arange(m)[:, None]
 
-    counts = jnp.zeros((m, max_labels), jnp.float32).at[rows, lab].add(1.0)
-    overlap = jnp.zeros((m, max_labels), jnp.float32).at[rows, lab].add(msk)
+    def crop_hist(args):
+        # per-label [count, overlap] histograms as one bf16 one-hot matmul
+        # (same idiom as filter_labels_depth above; scatter-adds measured
+        # ~3x slower for label reductions on this chip).  lax.map keeps one
+        # [s*s, max_labels] one-hot live at a time instead of [M, ...].
+        lab_i, msk_i = args
+        onehot = jax.nn.one_hot(lab_i, max_labels, dtype=jnp.bfloat16)
+        rhs = jnp.stack([jnp.ones(lab_i.shape, jnp.bfloat16),
+                         msk_i.astype(jnp.bfloat16)], axis=1)
+        return jax.lax.dot_general(
+            onehot, rhs, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    sums = jax.lax.map(crop_hist, (lab, msk))     # [M, max_labels, 2]
+    counts, overlap = sums[..., 0], sums[..., 1]
     pct = overlap / jnp.maximum(counts, 1.0)
     vetoed = pct < 0.5                      # [M, max_labels]
     lab_veto = jnp.where(vetoed[rows, lab], -1, lab)
@@ -283,7 +296,11 @@ def veto_and_order(labels_crop: jax.Array, mask_crops: jax.Array,
     else:
         key = jnp.zeros((m,), jnp.float32)
     key = jnp.where(valid, key, -jnp.inf)   # invalid crops sort last
-    return lab_veto.reshape(m, s, s).astype(jnp.int8), key
+    # int8 halves the host fetch (CLAUDE.md: only label crops cross the
+    # tunnel) but only holds ids < 128; fall back to int16 for larger
+    # NUM_SEEDS configurations instead of silently wrapping ids
+    out_dtype = jnp.int8 if max_labels <= 128 else jnp.int16
+    return lab_veto.reshape(m, s, s).astype(out_dtype), key
 
 
 def paste_back(initial_labels: np.ndarray, labels_veto: np.ndarray,
@@ -351,10 +368,9 @@ def match_label_crop(initial_labels: np.ndarray, labels_crop: np.ndarray,
     """
     labels_crop = labels_crop.copy()
     num = labels_crop.shape[0]
-    order_key = []
+    order_key = np.full((num,), -np.inf, np.float32)
     for i in range(num):
         if not valid[i]:
-            order_key.append((i, -np.inf))
             continue
         # veto under-overlapping clusters
         for mask_id in np.unique(labels_crop[i]):
@@ -367,28 +383,15 @@ def match_label_crop(initial_labels: np.ndarray, labels_crop: np.ndarray,
             z = depth_crops[i, :, :, 2][sel] if sel.any() \
                 else depth_crops[i, :, :, 2]
             z = z[z > 0]
-            avg = z.mean() if z.size else np.nan
-            order_key.append((i, avg))
+            # no valid depth: the reference's torch.mean over an empty
+            # selection is NaN with ill-defined sort order
+            # (test_dataset.py:135-136); determinize as +inf = farthest =
+            # pasted first, matching the device path (veto_and_order)
+            order_key[i] = z.mean() if z.size else np.inf
         else:
             x0, y0, x1, y1 = rois[i]
-            order_key.append((i, (y1 - y0 + 1) * (x1 - x0 + 1)))
+            order_key[i] = (y1 - y0 + 1) * (x1 - x0 + 1)
 
-    order = [i for i, _ in sorted(order_key, key=lambda t: t[1],
-                                  reverse=True)]
-
-    refined = np.zeros_like(initial_labels)
-    count = 0
-    for i in order:
-        if not valid[i]:
-            continue
-        ids = [m for m in np.unique(labels_crop[i]) if m != -1]
-        relabeled = np.zeros_like(labels_crop[i])
-        for mask_id in ids:
-            count += 1
-            relabeled[labels_crop[i] == mask_id] = count
-        x0, y0, x1, y1 = (int(v) for v in rois[i])
-        resized = _nearest_resize_np(relabeled, (y1 - y0 + 1, x1 - x0 + 1))
-        region = refined[y0:y1 + 1, x0:x1 + 1]
-        nz = resized > 0
-        region[nz] = resized[nz]
+    # single shared implementation of the order/relabel/paste loop
+    refined = paste_back(initial_labels, labels_crop, order_key, rois, valid)
     return refined, labels_crop
