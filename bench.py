@@ -132,7 +132,7 @@ def build_refine_pipeline(fast: bool, max_instances: int = 8,
     return run_frames, args
 
 
-def build_pipeline(fast: bool, batch: int = 1):
+def build_pipeline(fast: bool, batch: int = 1, subsample: int = 4):
     """Stage-1 pipeline benchmark.
 
     batch > 1 measures aggregate serving throughput: each scan step
@@ -161,7 +161,7 @@ def build_pipeline(fast: bool, batch: int = 1):
     epsilon = float(cfg.cluster_epsilon)
     pixel_means = jnp.asarray(cfg.pixel_means)
     compute_dtype = "bfloat16" if (fast and on_tpu) else "float32"
-    seed_subsample = 4 if fast else 1
+    seed_subsample = subsample if fast else 1
 
     def cluster_one(features_hw_c, key, z_valid):
         res = mean_shift_smart_init(
@@ -259,8 +259,16 @@ def main():
         if i + 1 >= len(sys.argv) or not sys.argv[i + 1].isdigit():
             sys.exit("--batch needs an integer value, e.g. --batch 4")
         batch = int(sys.argv[i + 1])
+    subsample = 4
+    if "--subsample" in sys.argv:
+        i = sys.argv.index("--subsample")
+        if i + 1 >= len(sys.argv) or not sys.argv[i + 1].isdigit():
+            sys.exit("--subsample needs an integer value, e.g. "
+                     "--subsample 8")
+        subsample = int(sys.argv[i + 1])
 
-    run_frames, variables = build_pipeline(fast, batch=batch)
+    run_frames, variables = build_pipeline(fast, batch=batch,
+                                           subsample=subsample)
 
     rng = np.random.RandomState(3)
     intr = tuple(jnp.float32(v) for v in (615.0, 615.0, W / 2.0, H / 2.0))

@@ -32,6 +32,8 @@ def main():
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--out", default="docs/FAST_PARITY.md")
+    p.add_argument("--subsample", type=int, default=4,
+                   help="fast-mode farthest-point seeding stride")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -54,7 +56,7 @@ def main():
     modes = {
         "parity": base,
         "fast": base.replace(CLUSTER={"DTYPE": "bfloat16",
-                                      "SEED_SUBSAMPLE": 4}),
+                                      "SEED_SUBSAMPLE": args.subsample}),
     }
     segs = {
         name: build_segmentor(cfg, args.network_name,
