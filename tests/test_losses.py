@@ -129,3 +129,45 @@ def test_loss_is_differentiable(rng):
     g = jax.grad(f)(jnp.asarray(x))
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_loss_all_unlabeled_has_finite_grad(rng):
+    """A batch with labels all -1 (k_dyn = 0) must give loss 0 AND finite
+    gradients — the unguarded 0/0 in the intra weighting produced NaN
+    through the untaken jnp.where branch (the classic where/NaN-grad
+    pitfall)."""
+    import jax
+
+    x, _ = make_case(rng, b=1, h=6, w=6, c=4, k=2)
+    labels = np.full((1, 6, 6), -1, np.int32)
+
+    def f(xx):
+        return embedding_loss(xx, jnp.asarray(labels), alpha=0.02, delta=0.5,
+                              lambda_intra=10.0, lambda_inter=10.0,
+                              max_k=4).loss
+
+    assert float(f(jnp.asarray(x))) == 0.0
+    g = jax.grad(f)(jnp.asarray(x))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_loss_labels_beyond_max_k_are_ignored(rng):
+    """Labels >= max_k are treated as unlabeled (-1): their all-zero
+    one-hot would otherwise inject a constant 0.5 cosine distance into the
+    intra term and inflate k_dyn past the cluster budget."""
+    x, labels = make_case(rng, b=1, h=6, w=6, c=4, k=2)
+    capped = embedding_loss(x, jnp.asarray(labels), alpha=0.02, delta=0.5,
+                            lambda_intra=10.0, lambda_inter=10.0, max_k=4)
+    overflow = np.array(labels)
+    overflow[overflow == 1] = 7          # beyond max_k=4
+    masked = np.array(labels)
+    masked[masked == 1] = -1             # explicit ignore
+    out_overflow = embedding_loss(x, jnp.asarray(overflow), alpha=0.02,
+                                  delta=0.5, lambda_intra=10.0,
+                                  lambda_inter=10.0, max_k=4)
+    out_masked = embedding_loss(x, jnp.asarray(masked), alpha=0.02,
+                                delta=0.5, lambda_intra=10.0,
+                                lambda_inter=10.0, max_k=4)
+    np.testing.assert_allclose(float(out_overflow.loss),
+                               float(out_masked.loss), rtol=1e-6)
+    assert float(out_overflow.loss) != float(capped.loss)

@@ -3,9 +3,14 @@
 Replaces torch.utils.data.DataLoader(shuffle, num_workers=4)
 (tools/train_net.py:96-99) with a thread-pool prefetcher: dataset item
 assembly is numpy/cv2 (GIL-releasing), and batches are stacked into pinned
-contiguous numpy arrays ready for jax.device_put.  Batches are padded/dropped
-to a multiple of the data-parallel shard count so NamedSharding over the
-mesh always divides evenly.
+contiguous numpy arrays ready for jax.device_put.
+
+Mesh divisibility is a two-part contract (the loader itself never pads and
+does not know the shard count): training callers round batch_size to a
+multiple of the device count (tools/train_net.py) and rely on the default
+drop_last=True under shuffle, so every emitted batch divides evenly;
+sequential evaluation keeps trailing partial batches and the sharded
+evaluator pads them itself (engine/evaluate.py, evaluate_dataset_sharded).
 """
 
 from __future__ import annotations

@@ -55,6 +55,16 @@ def load_resident_scenes(cache_dir: str, limit: Optional[int] = None,
                 "--resident-limit")
     else:
         files = sorted(glob.glob(os.path.join(cache_dir, "*.npz")))
+        # the index-parity guarantee must hold here too: file i must BE
+        # scene i, so a cache with holes (interrupted prerender) is an
+        # error, not a silent re-mapping
+        for i, f in enumerate(files):
+            if os.path.basename(f) != f"{i:06d}.npz":
+                raise FileNotFoundError(
+                    f"render cache {cache_dir} is not contiguous: expected "
+                    f"{i:06d}.npz at position {i}, found "
+                    f"{os.path.basename(f)}; re-render or pass an explicit "
+                    "limit")
     if not files:
         raise FileNotFoundError(f"no cached scenes in {cache_dir}")
     first = np.load(files[0])

@@ -199,18 +199,27 @@ class SyntheticTabletopDataset(_DatasetBase):
         self.raw = raw
         # resolution / count come from the reference's synthetic-data config
         # keys (cfg.TRAIN.SYN_WIDTH/SYN_HEIGHT/SYNNUM/SYN_MIN_OBJECT/...)
-        self.h = height or int(cfg.TRAIN.SYN_HEIGHT)
-        self.w = width or int(cfg.TRAIN.SYN_WIDTH)
-        size = size or int(cfg.TRAIN.SYNNUM)
+        # explicit None checks: 0 is a meaningful value (e.g. min_objects=0
+        # allows empty negative scenes) and must not fall through to the
+        # cfg default the way a falsy `or` would
+        self.h = height if height is not None else int(cfg.TRAIN.SYN_HEIGHT)
+        self.w = width if width is not None else int(cfg.TRAIN.SYN_WIDTH)
+        size = size if size is not None else int(cfg.TRAIN.SYNNUM)
         self._size = size if image_set == "train" else min(size, 200)
-        self.min_objects = min_objects or int(cfg.TRAIN.SYN_MIN_OBJECT)
-        self.max_objects = max_objects or int(cfg.TRAIN.SYN_MAX_OBJECT)
+        self.min_objects = (min_objects if min_objects is not None
+                            else int(cfg.TRAIN.SYN_MIN_OBJECT))
+        self.max_objects = (max_objects if max_objects is not None
+                            else int(cfg.TRAIN.SYN_MAX_OBJECT))
         # scenes are a fixed function of the index (a true dataset, like
         # TOD's pre-rendered scenes); only augmentation draws advance with
-        # set_epoch.  Renders are memoized — ~0.5 MB/scene, so training is
-        # compute-bound instead of renderer-bound from epoch 2 on.
+        # set_epoch.  Renders are memoized up to a BYTE budget (a scene is
+        # ~0.12 MB at 240x320 but ~1.84 MB at 480x640 — a fixed count cap
+        # would quietly allow tens of GB of host RSS at full resolution),
+        # so training is compute-bound instead of renderer-bound from
+        # epoch 2 on.
         self._render_cache: dict[int, tuple] = {}
-        self._cache_cap = 12000
+        self._cache_bytes = 0
+        self._cache_cap_bytes = 2 << 30   # 2 GiB of memoized scenes
         self._manifest_checked = False
         self.f = 0.5 * self.w  # ~53 deg horizontal FoV
         self.cx, self.cy = self.w / 2.0, self.h / 2.0
@@ -574,7 +583,10 @@ class SyntheticTabletopDataset(_DatasetBase):
                     "cache_dir elsewhere or re-render")
         else:
             os.makedirs(subdir, exist_ok=True)
-            tmp = mpath + f".tmp{os.getpid()}"
+            import threading
+            # pid + thread id: prefetch threads share the pid (see the
+            # scene-write note in get_scene)
+            tmp = mpath + f".tmp{os.getpid()}_{threading.get_ident()}"
             with open(tmp, "w") as fh:
                 json.dump(params, fh)
             os.replace(tmp, mpath)
@@ -616,15 +628,21 @@ class SyntheticTabletopDataset(_DatasetBase):
             scene = (bgr, (depth * 1000).astype(np.uint16),
                      labels.astype(np.uint8))
             if self.cache_dir:
+                import threading
                 p = self._scene_path(idx)
                 os.makedirs(os.path.dirname(p), exist_ok=True)
-                tmp = p + f".tmp{os.getpid()}"
+                # pid AND thread id: DataLoader prefetch threads share the
+                # pid, and two threads racing on one tmp path would make
+                # the second os.replace raise FileNotFoundError
+                tmp = p + f".tmp{os.getpid()}_{threading.get_ident()}"
                 with open(tmp, "wb") as fh:  # file handle: no .npz suffixing
                     np.savez(fh, bgr=scene[0], depth_mm=scene[1],
                              label=scene[2])
                 os.replace(tmp, p)  # atomic: safe under a prerender process
-        if len(self._render_cache) < self._cache_cap:
+        nbytes = sum(a.nbytes for a in scene)
+        if self._cache_bytes + nbytes <= self._cache_cap_bytes:
             self._render_cache[idx] = scene
+            self._cache_bytes += nbytes
         return scene
 
     # -- sample contract --------------------------------------------------------

@@ -40,10 +40,20 @@ def _safe_norm(v: jax.Array, axis: int = -1, keepdims: bool = False,
     return jnp.sqrt(jnp.maximum(sq, eps))
 
 
-def _safe_normalize(v: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
-    """L2-normalize; zero vectors stay zero (torch F.normalize semantics)."""
-    norm = _safe_norm(v, axis=axis, keepdims=True)
-    return v / jnp.maximum(norm, eps)
+def l2_normalize(x: jax.Array, axis: int = -1,
+                 eps: float = 1e-12) -> jax.Array:
+    """L2-normalize with fp32 accumulation and a finite gradient at 0;
+    zero vectors stay zero (torch F.normalize semantics).  The single
+    authority for feature/mean normalization — SEGNET's output normalize
+    (SEG.py:112-114) uses this same function so network and loss can never
+    drift numerically."""
+    xf = x.astype(jnp.float32)
+    norm = _safe_norm(xf, axis=axis, keepdims=True)
+    return (x / jnp.maximum(norm, eps)).astype(x.dtype)
+
+
+# internal alias used by the loss terms (fp32 inputs: cast-back is identity)
+_safe_normalize = l2_normalize
 
 
 def compute_cluster_means(x: jax.Array, labels: jax.Array, max_k: int,
@@ -85,6 +95,11 @@ def embedding_loss(x: jax.Array, labels: jax.Array, *, alpha: float,
     b, h, w, c = x.shape
     xf = x.astype(jnp.float32)
     lab = labels.astype(jnp.int32)
+    # labels beyond the static cluster budget are treated as unlabeled
+    # (= the -1 ignore convention): their one-hot would be all-zeros, which
+    # silently injected a constant 0.5 cosine distance into the intra term
+    # and inflated the inter normalization through k_dyn
+    lab = jnp.where(lab >= max_k, -1, lab)
 
     # dynamic K = max(labels)+1 across the batch (embedding.py:76)
     k_dyn = jnp.max(lab) + 1  # traced scalar
@@ -119,7 +134,12 @@ def embedding_loss(x: jax.Array, labels: jax.Array, *, alpha: float,
     w_pix = jnp.einsum("bpk,bk->bp", onehot, n_k)
     w_pix = w_pix * (labeled.reshape(b, h * w))
     w_pix = jnp.maximum(w_pix, 50.0) * k_f
-    intra_sum = jnp.sum((d_intra.reshape(b, h * w) ** 2) / w_pix) / b
+    # w_pix is 0 only when the batch holds no labels at all (k_f = 0);
+    # guard the division so that case is 0/eps = 0 rather than 0/0 = NaN —
+    # the forward is masked by any_hard below, but jax.grad would still
+    # backpropagate NaN through the untaken where-branch
+    intra_sum = jnp.sum((d_intra.reshape(b, h * w) ** 2)
+                        / jnp.maximum(w_pix, 1e-12)) / b
     intra = jnp.where(any_hard, intra_sum, 0.0) * lambda_intra
 
     # --- inter loss ---------------------------------------------------------

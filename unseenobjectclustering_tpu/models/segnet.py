@@ -25,15 +25,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from unseenobjectclustering_tpu.models.losses import \
+    l2_normalize as _l2_normalize
 from unseenobjectclustering_tpu.models.resnet import ResNetFCN
-
-
-def _l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
-    xf = x.astype(jnp.float32)
-    # sqrt(max(., tiny)) keeps the gradient finite at exactly-zero pixels
-    norm = jnp.sqrt(jnp.maximum(jnp.sum(xf * xf, axis=axis, keepdims=True),
-                                1e-24))
-    return (x / jnp.maximum(norm, eps)).astype(x.dtype)
 
 
 class SEGNET(nn.Module):

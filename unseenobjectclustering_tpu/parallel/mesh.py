@@ -43,8 +43,10 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
     """Device-put a pytree of [B, ...] arrays with B split across the mesh.
 
-    B must be divisible by the mesh size (the dataloader pads/drops to
-    guarantee this, mirroring DataLoader(drop_last) semantics).
+    B must be divisible by the mesh size — the CALLER's responsibility:
+    training rounds batch_size to a device multiple and uses
+    DataLoader(drop_last=True); the sharded evaluator pads trailing
+    partial batches itself (engine/evaluate.py).
     """
     sharding = batch_sharding(mesh, axis_name)
     return jax.tree_util.tree_map(
