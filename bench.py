@@ -39,7 +39,6 @@ import jax.numpy as jnp
 import numpy as np
 
 H, W = 480, 640
-WARMUP = 3
 ITERS = 30
 TARGET_FPS = 60.0
 
@@ -65,9 +64,7 @@ def build_refine_pipeline(fast: bool, max_instances: int = 8,
     from unseenobjectclustering_tpu.ops.mean_shift import mean_shift_smart_init
     from unseenobjectclustering_tpu.ops.preprocess import (compute_xyz,
                                                            normalize_bgr)
-    from unseenobjectclustering_tpu.ops.roi import (crop_rois,
-                                                    filter_labels_depth,
-                                                    veto_and_order)
+    from unseenobjectclustering_tpu.ops.roi import crop_rois, veto_and_order
 
     cfg = Config.default()
     on_tpu = jax.default_backend() == "tpu"
@@ -145,7 +142,6 @@ def build_pipeline(fast: bool, batch: int = 1, subsample: int = 4):
     from unseenobjectclustering_tpu.models import get_network
     from unseenobjectclustering_tpu.ops.mean_shift import mean_shift_smart_init
     from unseenobjectclustering_tpu.ops.preprocess import preprocess_rgbd
-    from unseenobjectclustering_tpu.ops.roi import filter_labels_depth
 
     cfg = Config.default()
     on_tpu = jax.default_backend() == "tpu"

@@ -57,17 +57,6 @@ void ucio_extract_strided_f32(const uint8_t* raw, long n_points, long stride,
     }
 }
 
-// Interleave three contiguous float32 field blocks (SoA -> AoS) from a
-// decompressed binary_compressed PCD: out[p*3+c] = field_c[p].
-void ucio_soa_to_xyz(const float* x, const float* y, const float* z,
-                     long n_points, float* out) {
-    for (long p = 0; p < n_points; ++p) {
-        out[p * 3 + 0] = x[p];
-        out[p * 3 + 1] = y[p];
-        out[p * 3 + 2] = z[p];
-    }
-}
-
 // Nearest-neighbor paste of a label crop into a region (the inner loop of
 // the zoom-in paste-back; ops/roi.paste_back).  src is [sh x sw] int32;
 // dst region is [dh x dw] with row stride dst_stride (in elements);

@@ -41,7 +41,12 @@ def main():
         state["last"] = now
         im = bridge.imgmsg_to_cv2(rgb_msg, "bgr8")
         if depth_msg.encoding == "32FC1":
-            depth = (bridge.imgmsg_to_cv2(depth_msg) * 1000).astype(np.uint16)
+            # zero NaN/inf invalid pixels BEFORE the uint16 cast (float->uint
+            # of NaN is undefined; 0 = invalid is what the downstream
+            # z>0 validity filter expects)
+            depth_f = np.nan_to_num(bridge.imgmsg_to_cv2(depth_msg),
+                                    nan=0.0, posinf=0.0, neginf=0.0)
+            depth = np.clip(depth_f * 1000, 0, 65535).astype(np.uint16)
         else:
             depth = bridge.imgmsg_to_cv2(depth_msg).astype(np.uint16)
         i = state["count"]

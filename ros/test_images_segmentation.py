@@ -98,24 +98,38 @@ class ImageListener:
         self.stream.submit(im, depth, self.intrinsics, rgb_msg.header)
 
     def run_network(self):
+        """Process the newest frame, publish labels AND color overlays
+        (reference publishes both, ros/test_images_segmentation.py:163-194).
+        Returns True when a frame was processed (False = idle)."""
         from unseenobjectclustering_tpu.utils.masks import (
             visualize_segmentation)
 
         result = self.stream.process_latest(refine=self.refine)
         if result is None:
-            return
+            return False
         header = result.stamp
         label_msg = self.bridge.cv2_to_imgmsg(
             result.labels.astype(np.uint8), "mono8")
         label_msg.header = header
         self.label_pub.publish(label_msg)
+        # overlay keeps the input (BGR) color space
+        overlay = visualize_segmentation(result.bgr, result.labels)
+        overlay_msg = self.bridge.cv2_to_imgmsg(overlay, "bgr8")
+        overlay_msg.header = header
+        self.image_pub.publish(overlay_msg)
         if result.labels_refined is not None:
             msg = self.bridge.cv2_to_imgmsg(
                 result.labels_refined.astype(np.uint8), "mono8")
             msg.header = header
             self.label_refined_pub.publish(msg)
+            overlay_r = visualize_segmentation(result.bgr,
+                                               result.labels_refined)
+            msg_r = self.bridge.cv2_to_imgmsg(overlay_r, "bgr8")
+            msg_r.header = header
+            self.image_refined_pub.publish(msg_r)
         self.rospy.loginfo_throttle(
             5, f"segmentation latency {result.latency_s:.3f}s")
+        return True
 
 
 def main():
@@ -141,8 +155,12 @@ def main():
 
     rospy.init_node("seg_rgb")
     listener = ImageListener(args, cfg, stream)
+    import time
     while not rospy.is_shutdown():
-        listener.run_network()
+        # sleep on idle ticks: a tight no-frame spin would hold the GIL and
+        # starve the rospy subscriber threads feeding the frame buffer
+        if not listener.run_network():
+            time.sleep(0.001)
 
 
 if __name__ == "__main__":

@@ -73,6 +73,9 @@ def test_stream_segmentor():
     assert res is not None
     assert res.stamp == "f2"          # newest wins, f1 dropped
     assert res.labels.shape == (32, 32)
+    # the frame rides along so transports can render label overlays
+    # (the reference node publishes seg_image/_refined overlay topics)
+    np.testing.assert_array_equal(res.bgr, bgr)
     assert ss.process_latest() is None  # buffer consumed
 
 

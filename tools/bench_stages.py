@@ -47,7 +47,6 @@ def main():
     from unseenobjectclustering_tpu.ops.mean_shift import (
         MeanShiftResult, mean_shift_smart_init, select_seeds_dispatch)
     from unseenobjectclustering_tpu.ops.preprocess import preprocess_rgbd
-    from unseenobjectclustering_tpu.ops.roi import filter_labels_depth
 
     cfg = Config.default()
     on_tpu = jax.default_backend() == "tpu"

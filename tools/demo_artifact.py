@@ -70,6 +70,9 @@ def main():
         im = cv2.imread(color_file)
         raw = cv2.imread(color_file.replace("-color.png", "-depth.png"),
                          cv2.IMREAD_ANYDEPTH)
+        if im is None or raw is None:
+            raise IOError(f"cannot read demo pair for {color_file} "
+                          "(cv2.imread returned None)")
         depth = raw.astype(np.float32) / 1000.0
         h, w = im.shape[:2]
         if segmentor is None:

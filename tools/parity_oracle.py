@@ -177,7 +177,7 @@ def main():
         f"{b2.max():.4f}.  Mean stage-1 pixel agreement "
         f"{col('agree1').mean():.4f}.",
     ]
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(f"wrote {args.out}")

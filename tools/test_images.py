@@ -50,9 +50,15 @@ def read_sample(color_file: str, depth_file: str, depth_factor: float):
     import cv2
 
     im = cv2.imread(color_file)
+    if im is None:
+        raise IOError(f"cannot read color image {color_file} "
+                      "(missing or corrupt; cv2.imread returned None)")
     depth = None
     if depth_file and os.path.exists(depth_file):
         raw = cv2.imread(depth_file, cv2.IMREAD_ANYDEPTH)
+        if raw is None:
+            raise IOError(f"cannot read depth image {depth_file} "
+                          "(corrupt; cv2.imread returned None)")
         depth = raw.astype(np.float32) / depth_factor
     return im, depth
 

@@ -60,15 +60,26 @@ def main():
     pixel_means = cfg.pixel_means / 255.0
     segmentor = None
     for path in files:
-        data = np.load(path, allow_pickle=True).item()
-        rgb = data["rgb"]  # BGR uint8 HWC
-        depth = data.get("depth")
+        data = np.load(path, allow_pickle=True, encoding="latin1").item()
+        # two dump flavors, mirroring the reference (tools/test_npy.py:
+        # 105-122): 'debug_info' carries a 3x3 intrinsics matrix, an
+        # already-in-meters depth image and the rgb; the plain flavor
+        # stores uint16 MILLIMETER depth that must be /1000'd
+        if "debug_info" in data:
+            info = data["debug_info"]
+            rgb = info["rgb"]
+            depth_m = info["depth_image"]
+            k = np.asarray(info["intrinsics"], np.float64)
+            fx, fy = float(k[0, 0]), float(k[1, 1])
+            px, py = float(k[0, 2]), float(k[1, 2])
+        else:
+            rgb = data["rgb"]  # BGR uint8 HWC
+            depth = data.get("depth")
+            depth_m = (depth.astype(np.float32) / 1000.0
+                       if depth is not None else None)
+            fx = fy = 616.0
+            px, py = rgb.shape[1] / 2.0, rgb.shape[0] / 2.0
         h, w = rgb.shape[:2]
-        info = data.get("debug_info", {}) or {}
-        fx = float(info.get("fx", 616.0))
-        fy = float(info.get("fy", 616.0))
-        px = float(info.get("x_offset", w / 2.0))
-        py = float(info.get("y_offset", h / 2.0))
 
         if segmentor is None:
             segmentor = build_segmentor(
@@ -79,8 +90,8 @@ def main():
 
         image = (rgb.astype(np.float32) / 255.0 - pixel_means)[None]
         xyz = None
-        if depth is not None and cfg.INPUT in ("DEPTH", "RGBD"):
-            xyz = compute_xyz_np(depth.astype(np.float32), fx, fy, px,
+        if depth_m is not None and cfg.INPUT in ("DEPTH", "RGBD"):
+            xyz = compute_xyz_np(depth_m.astype(np.float32), fx, fy, px,
                                  py)[None]
         res = segmentor.segment(image, xyz,
                                 refine=args.pretrained_crop is not None)

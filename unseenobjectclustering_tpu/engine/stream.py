@@ -34,6 +34,9 @@ class StreamResult(NamedTuple):
     labels_refined: Optional[np.ndarray]
     stamp: Any
     latency_s: float
+    # the frame the labels belong to, for overlay rendering downstream
+    # (the reference node publishes label AND overlay topics)
+    bgr: Optional[np.ndarray] = None
 
 
 class StreamSegmentor:
@@ -81,7 +84,8 @@ class StreamSegmentor:
             labels_refined=(res.labels_refined[0]
                             if res.labels_refined is not None else None),
             stamp=frame.stamp,
-            latency_s=time.perf_counter() - t0)
+            latency_s=time.perf_counter() - t0,
+            bgr=frame.bgr)
 
     def run_forever(self, callback, refine: bool = True,
                     poll_interval_s: float = 0.001,

@@ -346,6 +346,10 @@ def train_epochs_resident(cfg: Config, state: TrainState, scenes, *,
     bgr_all, depth_all, label_all = scenes
     n = int(bgr_all.shape[0])
     steps = n // batch_size
+    assert steps > 0, (
+        f"{n} resident scenes < batch size {batch_size}: every epoch would "
+        "run zero steps (while still writing unchanged snapshots); lower "
+        "--batch_size or raise --resident-limit")
     assert intrinsics is not None, (
         "train_epochs_resident needs intrinsics=(fx, fy, px, py) for the "
         "on-device depth backprojection")
