@@ -96,17 +96,19 @@ def test_ros_node_publishes_labels_and_overlays(monkeypatch):
 
     cfg = Config.from_dict({
         "INPUT": "RGBD",
-        "TRAIN": {"NUM_UNITS": 4},
+        "TRAIN": {"NUM_UNITS": 4, "SYN_CROP_SIZE": 32},
         "CLUSTER": {"NUM_SEEDS": 8, "MAX_INSTANCES": 4,
                     "USE_PALLAS": False},
     })
     model = get_network("seg_resnet34_8s_embedding", cfg, num_units=4)
     img = jnp.zeros((1, 32, 32, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), img, img, train=False)
-    seg = Segmentor(cfg, variables, depth_threshold=None)
+    seg = Segmentor(cfg, variables, variables_crop=variables,
+                    depth_threshold=None)
     stream = StreamSegmentor(cfg, seg)
 
-    args = types.SimpleNamespace(camera="D415", pretrained_crop=None)
+    # crop net present -> node publishes the refined topics too
+    args = types.SimpleNamespace(camera="D415", pretrained_crop="crop.ckpt")
     listener = node.ImageListener(args, cfg, stream)
 
     # idle tick: nothing pending -> False (main loop sleeps on this)
@@ -122,14 +124,29 @@ def test_ros_node_publishes_labels_and_overlays(monkeypatch):
     assert len(listener.label_pub.published) == 1
     lab = listener.label_pub.published[0]
     assert lab.encoding == "mono8" and lab.data.shape == (32, 32)
+    # downstream TF/time sync needs the input frame's header on every
+    # published message
+    assert lab.header is rgb_msg.header
     # the overlay topic must actually carry frames (regression: it was
     # advertised but never published)
     assert len(listener.image_pub.published) == 1
     overlay = listener.image_pub.published[0]
     assert overlay.encoding == "bgr8" and overlay.data.shape == (32, 32, 3)
-    # refine off: refined topics stay silent
-    assert listener.label_refined_pub.published == []
-    assert listener.image_refined_pub.published == []
+    assert overlay.header is rgb_msg.header
+    # refined label + overlay both publish when a crop net is loaded
+    assert len(listener.label_refined_pub.published) == 1
+    assert listener.label_refined_pub.published[0].data.shape == (32, 32)
+    assert len(listener.image_refined_pub.published) == 1
+    ref_overlay = listener.image_refined_pub.published[0]
+    assert ref_overlay.encoding == "bgr8"
+    assert ref_overlay.header is rgb_msg.header
+
+    # 32FC1 depth (already meters) is accepted as-is
+    depth_f = _FakeMsg((1.0 + 0.5 * rng.rand(32, 32)).astype(np.float32),
+                       encoding="32FC1")
+    sync_cls.callback(rgb_msg, depth_f)
+    assert listener.run_network() is True
+    assert len(listener.label_pub.published) == 2
 
     # unsupported depth encoding is rejected without crashing
     bad = _FakeMsg(np.zeros((32, 32)), encoding="8UC1")
