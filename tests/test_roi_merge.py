@@ -65,3 +65,23 @@ def test_veto_semantics():
     lv = np.asarray(lv)
     assert (lv[0, 2:6, 2:6] == 1).all()      # surviving cluster
     assert (lv[0, 0, :] == -1).all()         # background cluster vetoed
+
+
+def test_veto_wide_label_space_uses_int16():
+    """max_labels > 128 (NUM_SEEDS > 127) must widen the output dtype:
+    int8 would wrap ids above 127 into negatives that paste_back treats as
+    distinct real instances."""
+    labels_crop = np.zeros((1, 8, 8), np.int32)
+    labels_crop[0, 2:6, 2:6] = 150          # id beyond int8 range
+    mask = np.zeros((1, 8, 8), np.float32)
+    mask[0, 2:6, 2:6] = 1.0
+    lv, _ = veto_and_order(jnp.asarray(labels_crop), jnp.asarray(mask),
+                           None, jnp.asarray([True]), max_labels=200)
+    lv = np.asarray(lv)
+    assert lv.dtype == np.int16
+    assert (lv[0, 2:6, 2:6] == 150).all()    # id preserved, not wrapped
+    # the compact default keeps the halved host fetch
+    lv8, _ = veto_and_order(jnp.asarray(np.clip(labels_crop, 0, 100)),
+                            jnp.asarray(mask), None, jnp.asarray([True]),
+                            max_labels=101)
+    assert np.asarray(lv8).dtype == np.int8
