@@ -44,7 +44,8 @@ TARGET_FPS = 60.0
 
 
 def build_refine_pipeline(fast: bool, max_instances: int = 8,
-                          crop_size: int = 224):
+                          crop_size: int = 224,
+                          crop_network: str = "seg_resnet34_8s_embedding"):
     """Two-stage (zoom-in) demo-path benchmark (test_dataset.py:232-267).
 
     Stage 1 runs the full backbone + clustering + depth filter; stage 2
@@ -70,8 +71,7 @@ def build_refine_pipeline(fast: bool, max_instances: int = 8,
     on_tpu = jax.default_backend() == "tpu"
     model_dtype = jnp.bfloat16 if (fast and on_tpu) else jnp.float32
     model = get_network("seg_resnet34_8s_embedding", cfg, dtype=model_dtype)
-    model_crop = get_network("seg_resnet34_8s_embedding", cfg,
-                             dtype=model_dtype)
+    model_crop = get_network(crop_network, cfg, dtype=model_dtype)
     key = jax.random.PRNGKey(3)
     zeros = jnp.zeros((1, H, W, 3), jnp.float32)
     variables = model.init(key, zeros, zeros, train=False)
@@ -235,7 +235,15 @@ def main():
                 sys.exit("--crop-size needs an integer value, e.g. "
                          "--crop-size 128")
             crop_size = int(sys.argv[i + 1])
-        run_frames, args = build_refine_pipeline(fast, crop_size=crop_size)
+        crop_network = "seg_resnet34_8s_embedding"
+        if "--crop-net" in sys.argv:
+            i = sys.argv.index("--crop-net")
+            if i + 1 >= len(sys.argv):
+                sys.exit("--crop-net needs a factory name, e.g. "
+                         "--crop-net seg_resnet18_8s_embedding")
+            crop_network = sys.argv[i + 1]
+        run_frames, args = build_refine_pipeline(fast, crop_size=crop_size,
+                                                 crop_network=crop_network)
         keys = jax.random.split(jax.random.PRNGKey(7), iters)
         np.asarray(run_frames(*args, keys))  # warm + sync
         t0 = time.perf_counter()

@@ -10,7 +10,8 @@ from unseenobjectclustering_tpu.config import Config
 from unseenobjectclustering_tpu.models import get_network
 
 
-@pytest.mark.parametrize("name", ["seg_unet_embedding", "seg_vgg_embedding"])
+@pytest.mark.parametrize("name", ["seg_unet_embedding", "seg_vgg_embedding",
+                                  "seg_resnet18_8s_embedding"])
 def test_alternate_backbones_forward(name):
     cfg = Config.from_dict({"INPUT": "COLOR", "TRAIN": {"NUM_UNITS": 8}})
     model = get_network(name, cfg, num_units=8)

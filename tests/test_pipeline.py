@@ -111,3 +111,29 @@ def test_depth_only_pipeline():
     xyz = np.random.RandomState(6).rand(1, 64, 64, 3).astype(np.float32)
     res = seg.segment(None, xyz, refine=False)
     assert res.labels.shape == (1, 64, 64)
+
+
+def test_lighter_crop_backbone():
+    """Stage 2 can run a lighter zoom-in backbone than stage 1
+    (crop_network_name; extension — the reference reuses the main factory
+    for both, tools/test_net.py:125)."""
+    cfg = tiny_cfg()
+    model = get_network("seg_resnet34_8s_embedding", cfg)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, img, train=False)
+    model18 = get_network("seg_resnet18_8s_embedding", cfg)
+    ic = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables18 = model18.init(jax.random.PRNGKey(1), ic, ic, train=False)
+    # resnet18 plan is 2-2-2-2 -> two blocks per stage, no layer1_2
+    assert "layer1_1" in variables18["params"]["fcn"]
+    assert "layer1_2" not in variables18["params"]["fcn"]
+    seg = Segmentor(cfg, variables, variables_crop=variables18,
+                    crop_network_name="seg_resnet18_8s_embedding",
+                    depth_threshold=None)
+    rng = np.random.RandomState(0)
+    image = rng.rand(1, 64, 64, 3).astype(np.float32)
+    xyz = rng.rand(1, 64, 64, 3).astype(np.float32)
+    res = seg.segment(image, xyz, refine=True)
+    assert res.labels.shape == (1, 64, 64)
+    assert res.labels_refined is not None
+    assert res.labels_refined.shape == (1, 64, 64)

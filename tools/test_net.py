@@ -31,6 +31,11 @@ def parse_args():
     parser.add_argument("--rand", dest="randomize", action="store_true")
     parser.add_argument("--network", dest="network_name", type=str,
                         default="seg_resnet34_8s_embedding")
+    parser.add_argument("--network_crop", dest="crop_network_name",
+                        type=str, default=None,
+                        help="zoom-in backbone factory (default: same as "
+                             "--network; e.g. seg_resnet18_8s_embedding "
+                             "for a lighter stage 2)")
     parser.add_argument("--max_images", type=int, default=None)
     parser.add_argument("--crop_size", type=int, default=None,
                         help="override zoom-in crop resolution (default "
@@ -77,6 +82,7 @@ def main():
     segmentor = build_segmentor(
         cfg, args.network_name, pretrained=args.pretrained,
         pretrained_crop=args.pretrained_crop,
+        crop_network_name=args.crop_network_name,
         depth_threshold=depth_threshold_for(dataset.name),
         model_dtype=jnp.bfloat16 if args.fast else None)
 

@@ -74,17 +74,24 @@ def build_segmentor(cfg: Config, network_name: str,
                     pretrained_crop: Optional[str] = None,
                     height: int = 480, width: int = 640,
                     depth_threshold: Optional[float] = 0.8,
-                    model_dtype=None) -> Segmentor:
+                    model_dtype=None,
+                    crop_network_name: Optional[str] = None) -> Segmentor:
     """Build the two-stage Segmentor from checkpoint paths (the reference's
-    main+crop network pair, tools/test_net.py:109-128)."""
+    main+crop network pair, tools/test_net.py:109-128).
+
+    crop_network_name lets the zoom-in stage use a lighter backbone than
+    the main stage (e.g. seg_resnet18_8s_embedding); the reference always
+    reuses the main factory for both.
+    """
     variables = load_network_variables(cfg, network_name, pretrained,
                                        height, width)
     variables_crop = None
     if pretrained_crop:
         s = int(cfg.TRAIN.SYN_CROP_SIZE)
-        variables_crop = load_network_variables(cfg, network_name,
-                                                pretrained_crop, s, s)
+        variables_crop = load_network_variables(
+            cfg, crop_network_name or network_name, pretrained_crop, s, s)
     return Segmentor(cfg, variables, variables_crop=variables_crop,
                      network_name=network_name,
+                     crop_network_name=crop_network_name,
                      depth_threshold=depth_threshold,
                      model_dtype=model_dtype)

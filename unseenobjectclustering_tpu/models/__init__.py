@@ -56,6 +56,14 @@ def seg_resnet50_8s_embedding(cfg: Config, num_units: int = 64, dtype=None) -> S
     return _segnet("resnet50_8s", cfg, num_units, dtype=dtype)
 
 
+def seg_resnet18_8s_embedding(cfg: Config, num_units: int = 64, dtype=None) -> SEGNET:
+    """Extension: the reference defines Resnet18_8s
+    (resnet_dilated.py:90-107) but never exposes it through a SEG factory.
+    Half the layers of resnet34 (2-2-2-2 BasicBlocks) — the natural
+    lighter zoom-in (crop) backbone for the fast two-stage mode."""
+    return _segnet("resnet18_8s", cfg, num_units, dtype=dtype)
+
+
 def seg_vgg_embedding(cfg: Config, num_units: int = 64, dtype=None) -> SEGNET:
     """SEG.py:163-166 equivalent."""
     return _segnet("vgg", cfg, num_units, dtype=dtype)
@@ -67,6 +75,7 @@ def seg_unet_embedding(cfg: Config, num_units: int = 64, dtype=None) -> SEGNET:
 
 
 NETWORK_FACTORIES = {
+    "seg_resnet18_8s_embedding": seg_resnet18_8s_embedding,
     "seg_resnet34_8s_embedding": seg_resnet34_8s_embedding,
     "seg_resnet34_8s_embedding_early": seg_resnet34_8s_embedding_early,
     "seg_resnet50_8s_embedding": seg_resnet50_8s_embedding,

@@ -49,6 +49,12 @@ class SEGNET(nn.Module):
     dtype: Any = jnp.float32
 
     def _make_backbone(self, name: str) -> nn.Module:
+        if self.network_name == "resnet18_8s":
+            # reference resnet_dilated.py:90-107 (not exposed by its SEG
+            # factories); 18's 2-2-2-2 BasicBlock plan, same OS8 machinery
+            return ResNetFCN(block="basic", layers=(2, 2, 2, 2),
+                             num_classes=self.num_units, output_stride=8,
+                             dtype=self.dtype, name=name)
         if self.network_name == "resnet34_8s":
             return ResNetFCN(block="basic", layers=(3, 4, 6, 3),
                              num_classes=self.num_units, output_stride=8,
