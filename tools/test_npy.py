@@ -36,6 +36,33 @@ def parse_args():
     return parser.parse_args()
 
 
+def read_npy_sample(path):
+    """Decode one .npy dump into (rgb u8 BGR, depth_m float|None,
+    (fx, fy, px, py)).
+
+    Two dump flavors, mirroring the reference (tools/test_npy.py:105-122):
+    'debug_info' carries a 3x3 intrinsics matrix, an already-in-meters
+    depth image and the rgb; the plain flavor stores uint16 MILLIMETER
+    depth that must be /1000'd.
+    """
+    data = np.load(path, allow_pickle=True, encoding="latin1").item()
+    if "debug_info" in data:
+        info = data["debug_info"]
+        rgb = info["rgb"]
+        depth_m = info["depth_image"]
+        k = np.asarray(info["intrinsics"], np.float64)
+        fx, fy = float(k[0, 0]), float(k[1, 1])
+        px, py = float(k[0, 2]), float(k[1, 2])
+    else:
+        rgb = data["rgb"]  # BGR uint8 HWC
+        depth = data.get("depth")
+        depth_m = (depth.astype(np.float32) / 1000.0
+                   if depth is not None else None)
+        fx = fy = 616.0
+        px, py = rgb.shape[1] / 2.0, rgb.shape[0] / 2.0
+    return rgb, depth_m, (fx, fy, px, py)
+
+
 def main():
     args = parse_args()
     import jax.numpy as jnp
@@ -60,25 +87,7 @@ def main():
     pixel_means = cfg.pixel_means / 255.0
     segmentor = None
     for path in files:
-        data = np.load(path, allow_pickle=True, encoding="latin1").item()
-        # two dump flavors, mirroring the reference (tools/test_npy.py:
-        # 105-122): 'debug_info' carries a 3x3 intrinsics matrix, an
-        # already-in-meters depth image and the rgb; the plain flavor
-        # stores uint16 MILLIMETER depth that must be /1000'd
-        if "debug_info" in data:
-            info = data["debug_info"]
-            rgb = info["rgb"]
-            depth_m = info["depth_image"]
-            k = np.asarray(info["intrinsics"], np.float64)
-            fx, fy = float(k[0, 0]), float(k[1, 1])
-            px, py = float(k[0, 2]), float(k[1, 2])
-        else:
-            rgb = data["rgb"]  # BGR uint8 HWC
-            depth = data.get("depth")
-            depth_m = (depth.astype(np.float32) / 1000.0
-                       if depth is not None else None)
-            fx = fy = 616.0
-            px, py = rgb.shape[1] / 2.0, rgb.shape[0] / 2.0
+        rgb, depth_m, (fx, fy, px, py) = read_npy_sample(path)
         h, w = rgb.shape[:2]
 
         if segmentor is None:
