@@ -83,3 +83,60 @@ def test_default_dict_sections():
     d = default_dict()
     assert set(d["CLUSTER"]) >= {"KAPPA", "NUM_SEEDS", "MAX_ITERS",
                                  "MAX_INSTANCES"}
+
+
+def test_config_hashable_and_comparable():
+    """Frozen Config must behave like a value: equal defaults hash equal
+    (usable as a jit static argument), and section views are cached and
+    comparable instead of fresh O(section) copies per access."""
+    c = Config.default()
+    assert hash(c) == hash(Config.default())
+    assert c == Config.default()
+    assert c != Config.from_dict({"INPUT": "COLOR"})
+    assert c.TRAIN is c.TRAIN            # cached view
+    assert c.TRAIN == Config.default().TRAIN
+
+
+def test_config_dotted_replace():
+    c = Config.default().replace(**{"TRAIN.SYN_CROP": True}, INPUT="COLOR")
+    assert c.TRAIN.SYN_CROP is True and c.INPUT == "COLOR"
+    # dotted + nested overrides for the same section merge
+    c2 = Config.default().replace(**{"TRAIN.SYN_CROP": True},
+                                  TRAIN={"NUM_UNITS": 8})
+    assert c2.TRAIN.SYN_CROP is True and c2.TRAIN.NUM_UNITS == 8
+
+
+def test_config_owns_its_tree():
+    """Config(tree) deep-copies (mutating the caller's dict must not
+    change a frozen config) and rejects structurally empty trees."""
+    import pytest
+
+    t = Config.default().to_dict()
+    c = Config(t)
+    t["INPUT"] = "MUTATED"
+    assert c.INPUT != "MUTATED"
+    with pytest.raises(KeyError, match="TRAIN"):
+        Config({})
+
+
+def test_config_tuple_override_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="3"):
+        Config.from_dict({"PIXEL_MEANS": [1.0, 2.0]})
+    with pytest.raises(ValueError, match="MILESTONES"):
+        Config.from_dict({"TRAIN": {"MILESTONES": ["a", "b"]}})
+    c = Config.from_dict({"TRAIN": {"MILESTONES": [4, 8]}})
+    assert c.TRAIN.MILESTONES == (4, 8)
+
+
+def test_output_dir_anchored_at_repo_root(monkeypatch, tmp_path):
+    """get_output_dir resolves against the repo root, not the cwd
+    (reference ROOT_DIR semantics, lib/fcn/config.py:395-405): runs from
+    different directories must find each other's snapshots."""
+    from unseenobjectclustering_tpu.config import get_output_dir
+
+    monkeypatch.chdir(tmp_path)
+    out = get_output_dir(Config.default(), "ds")
+    assert not out.startswith(str(tmp_path))
+    assert out.endswith("output/default/ds")

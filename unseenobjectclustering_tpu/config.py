@@ -305,8 +305,24 @@ def _merge(src: Mapping[str, Any], dst: dict[str, Any], path: str = "") -> None:
             _merge(v, cur, here)
             continue
         # normalize sequences: YAML lists/tuples are both accepted for tuple
-        # defaults; the reference relies on !!python/tuple tags.
+        # defaults; the reference relies on !!python/tuple tags.  Elements
+        # are coerced to the default's element type (a list of strings for
+        # MILESTONES would otherwise silently break the LR schedule), and
+        # PIXEL_MEANS must stay length 3 (it feeds a fixed [3]-broadcast in
+        # the jit'd preprocess).  Other tuple keys (CLASSES, MILESTONES,
+        # INTRINSICS, ...) are legitimately variable-length.
         if isinstance(cur, tuple) and isinstance(v, (list, tuple)):
+            if k == "PIXEL_MEANS" and len(v) != 3:
+                raise ValueError(
+                    f"{here} must have exactly 3 (BGR) entries, got {len(v)}")
+            if cur and isinstance(cur[0], (int, float)):
+                elem_t = float if isinstance(cur[0], float) else int
+                try:
+                    v = [elem_t(e) for e in v]
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        f"Elements of {here} must be {elem_t.__name__}, "
+                        f"got {v!r}") from None
             dst[k] = tuple(v)
             continue
         # int is acceptable where float expected (YAML 1 vs 1.0)
@@ -356,6 +372,16 @@ class Section:
     def to_dict(self) -> dict[str, Any]:
         return dict(self._d)
 
+    def __eq__(self, other) -> bool:
+        if isinstance(other, Section):
+            return self._d == other._d
+        if isinstance(other, Mapping):
+            return self._d == dict(other)
+        return NotImplemented
+
+    def __hash__(self):
+        return hash(tuple(sorted((k, str(v)) for k, v in self._d.items())))
+
     def __repr__(self) -> str:
         return f"Section({self._d!r})"
 
@@ -370,6 +396,30 @@ class Config:
     """
 
     _tree: dict[str, Any] = dataclasses.field(default_factory=default_dict)
+
+    def __post_init__(self):
+        # own the tree: a raw Config(tree) must not alias the caller's
+        # mutable dict (mutating it would change a "frozen" config), and a
+        # structurally empty tree should fail here, not at first attribute
+        import copy
+
+        tree = object.__getattribute__(self, "_tree")
+        for section in ("TRAIN", "TEST", "CLUSTER"):
+            if section not in tree:
+                raise KeyError(
+                    f"Config tree is missing the {section} section — "
+                    "construct via Config.default()/from_dict()/from_yaml()")
+        object.__setattr__(self, "_tree", copy.deepcopy(dict(tree)))
+
+    def __hash__(self) -> int:
+        # the frozen dataclass's auto-hash raises on the dict field; a
+        # canonical-JSON hash lets Config ride as a jit static argument
+        import json
+
+        return hash(json.dumps(self._tree, sort_keys=True, default=list))
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Config) and self._tree == other._tree
 
     # -- constructors -------------------------------------------------------
     @staticmethod
@@ -404,35 +454,50 @@ class Config:
     def replace(self, **overrides: Any) -> "Config":
         """Return a new Config with dotted or nested overrides applied.
 
-        replace(INPUT='COLOR') or replace(TRAIN={'SYN_CROP': True}).
+        replace(INPUT='COLOR'), replace(TRAIN={'SYN_CROP': True}), or the
+        dotted form replace(**{'TRAIN.SYN_CROP': True}).
         """
         import copy
 
+        expanded: dict[str, Any] = {}
+        for k, v in overrides.items():
+            if "." in k:
+                head, _, rest = k.partition(".")
+                node = expanded.setdefault(head, {})
+                for part in rest.split(".")[:-1]:
+                    node = node.setdefault(part, {})
+                node[rest.split(".")[-1]] = v
+            else:
+                # nested dicts merge with any dotted keys for the same
+                # section instead of overwriting them
+                if (isinstance(v, Mapping)
+                        and isinstance(expanded.get(k), dict)):
+                    expanded[k].update(v)
+                else:
+                    expanded[k] = v
         tree = copy.deepcopy(self._tree)
-        _merge(overrides, tree)
+        _merge(expanded, tree)
         return Config(tree)
 
     # -- accessors ----------------------------------------------------------
     def __getattr__(self, name: str) -> Any:
+        # single mechanism for ALL keys, section or scalar (TRAIN/TEST/
+        # CLUSTER previously had redundant properties); Section views are
+        # cached so hot loops don't pay an O(section) dict copy per access
         tree = object.__getattribute__(self, "_tree")
         if name in tree:
             v = tree[name]
             if isinstance(v, dict):
-                return Section(v)
+                try:
+                    cache = object.__getattribute__(self, "_sections")
+                except AttributeError:
+                    cache = {}
+                    object.__setattr__(self, "_sections", cache)
+                if name not in cache:
+                    cache[name] = Section(v)
+                return cache[name]
             return v
         raise AttributeError(name)
-
-    @property
-    def TRAIN(self) -> Section:
-        return Section(self._tree["TRAIN"])
-
-    @property
-    def TEST(self) -> Section:
-        return Section(self._tree["TEST"])
-
-    @property
-    def CLUSTER(self) -> Section:
-        return Section(self._tree["CLUSTER"])
 
     @property
     def pixel_means(self) -> np.ndarray:
@@ -457,7 +522,13 @@ class Config:
         return f"Config(INPUT={self._tree['INPUT']!r}, EXP_DIR={self._tree['EXP_DIR']!r})"
 
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def get_output_dir(cfg: Config, dataset_name: str, root: str | None = None) -> str:
-    """output/<EXP_DIR>/<dataset>/ — parity with lib/fcn/config.py:395-405."""
-    root = root or os.getcwd()
+    """<repo>/output/<EXP_DIR>/<dataset>/ — parity with
+    lib/fcn/config.py:395-405, which anchors at the fixed ROOT_DIR rather
+    than the cwd (runs from different directories must find each other's
+    snapshots)."""
+    root = root or _REPO_ROOT
     return os.path.join(root, "output", cfg.EXP_DIR, dataset_name)
