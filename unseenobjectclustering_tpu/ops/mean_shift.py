@@ -40,12 +40,21 @@ class MeanShiftResult(NamedTuple):
 
 
 def _cosine_dist_to_point(x: jax.Array, v: jax.Array) -> jax.Array:
-    """0.5 * (1 - X . v) for unit vectors; [n]."""
-    return 0.5 * (1.0 - x @ v)
+    """0.5 * (1 - X . v) for unit vectors; [n], float32.
+
+    The matvec accumulates in f32 even for bf16 inputs so the min-distance
+    state (and thus argmax selection) matches the Pallas and lazy-blocked
+    seeding routes — carrying distances in bf16 quantizes near-0.5 cosine
+    distances to ~2e-3 steps, mass-tying the argmax toward low indices.
+    """
+    dots = jax.lax.dot_general(x, v, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    return 0.5 * (1.0 - dots)
 
 
 def _euclidean_dist_to_point(x: jax.Array, v: jax.Array) -> jax.Array:
-    return jnp.linalg.norm(x - v[None, :], axis=1)
+    diff = (x - v[None, :]).astype(jnp.float32)
+    return jnp.sqrt(jnp.sum(diff * diff, axis=1))
 
 
 def select_smart_seeds(x: jax.Array, num_seeds: int, key: jax.Array,
@@ -81,7 +90,7 @@ def select_smart_seeds(x: jax.Array, num_seeds: int, key: jax.Array,
 
     if first_index is None:
         first_index = jax.random.randint(key, (), 0, n)
-    first_index = first_index.astype(jnp.int32)
+    first_index = jnp.asarray(first_index, jnp.int32)  # plain ints welcome
 
     seeds0 = jnp.zeros((num_seeds, d), dtype=x.dtype)
     idxs0 = jnp.full((num_seeds,), -1, dtype=jnp.int32)
@@ -138,7 +147,7 @@ def select_smart_seeds_lazy(x: jax.Array, num_seeds: int, key: jax.Array,
 
     if first_index is None:
         first_index = jax.random.randint(key, (), 0, n)
-    first_index = first_index.astype(jnp.int32)
+    first_index = jnp.asarray(first_index, jnp.int32)  # plain ints welcome
     first_seed = xp[first_index]
 
     # full pass vs seed 0 (every block must be scored once anyway before the
@@ -261,6 +270,19 @@ def connected_components(z: jax.Array, epsilon: float,
     return labels
 
 
+def swap_background(labels: jax.Array, counts: jax.Array
+                    ) -> tuple[jax.Array, jax.Array]:
+    """Relabel so the largest cluster is background 0 (mean_shift.py:
+    217-227).  Returns (labels, label_max) — label_max lets callers
+    permute per-cluster side data (e.g. the fused depth-filter's keep
+    mask) through the same swap.  Single authority: the XLA and Pallas
+    routes must apply identical swap semantics."""
+    label_max = jnp.argmax(counts).astype(jnp.int32)
+    swapped = jnp.where(labels == 0, label_max,
+                        jnp.where(labels == label_max, 0, labels))
+    return jnp.where(label_max != 0, swapped, labels), label_max
+
+
 def assign_and_swap_background(x: jax.Array, seeds: jax.Array,
                                seed_labels: jax.Array,
                                metric: str = "cosine") -> jax.Array:
@@ -285,10 +307,8 @@ def assign_and_swap_background(x: jax.Array, seeds: jax.Array,
     labels = seed_labels[closest].astype(jnp.int32)
 
     counts = jnp.sum(jax.nn.one_hot(labels, m, dtype=jnp.int32), axis=0)
-    label_max = jnp.argmax(counts).astype(jnp.int32)
-    swapped = jnp.where(labels == 0, label_max,
-                        jnp.where(labels == label_max, 0, labels))
-    return jnp.where(label_max != 0, swapped, labels)
+    labels, _ = swap_background(labels, counts)
+    return labels
 
 
 def select_seeds_dispatch(xc: jax.Array, num_seeds: int, key: jax.Array, *,
@@ -300,22 +320,30 @@ def select_seeds_dispatch(xc: jax.Array, num_seeds: int, key: jax.Array, *,
 
     One authority for the kernel choice (also used by tools/bench_stages.py,
     so the benchmark times exactly the production route):
-      * X fits the 8 MB VMEM budget  -> fully fused Pallas kernel
+      * X fits the 20 MB VMEM budget -> fully fused Pallas kernel
       * too big but n > 65536        -> exact lazy-bound blocked selection
       * otherwise                    -> plain select_smart_seeds
-    All three share the argmax selection semantics of the reference's
-    select_smart_seeds (mean_shift.py:128-189).
+    All three implement the reference's selection rule (mean_shift.py:
+    128-189) with f32 distances and lowest-index argmax tie-break; they
+    can still disagree on fp-rounding near-ties (~1e-6 cosine-distance
+    gaps) because the lazy route recomputes min-distances blockwise while
+    the eager route mins incrementally — evaluate cross-route parity on
+    metrics, not per-seed indices (SURVEY.md §7 hard-part #4).
     """
     x_seed = xc[::seed_subsample] if seed_subsample > 1 else xc
-    vmem_bytes = x_seed.shape[0] * x_seed.shape[1] * x_seed.dtype.itemsize
-    if metric == "cosine" and use_pallas and vmem_bytes <= 8 * 2 ** 20:
+    # honest VMEM accounting: the kernel pads the feature dim to the
+    # 128-lane tile and keeps an [8, n] f32 scratch resident alongside X
+    n_seed, d_seed = x_seed.shape
+    d_pad = ((d_seed + 127) // 128) * 128
+    vmem_bytes = n_seed * d_pad * x_seed.dtype.itemsize + 8 * n_seed * 4
+    if metric == "cosine" and use_pallas and vmem_bytes <= 20 * 2 ** 20:
         # whole farthest-point loop fused in one kernel, X resident in VMEM
         from unseenobjectclustering_tpu.ops.pallas_seeding import (
             select_seeds_pallas)
         if first_index is None:
             first_index = jax.random.randint(key, (), 0, x_seed.shape[0])
         seeds, seed_indices = select_seeds_pallas(
-            x_seed, num_seeds, first_index.astype(jnp.int32))
+            x_seed, num_seeds, jnp.asarray(first_index, jnp.int32))
         return seeds, seed_indices * seed_subsample
     if metric == "cosine" and x_seed.shape[0] > 65536:
         # full-resolution (stride-1) seeding: X cannot be VMEM-resident, so
@@ -374,10 +402,7 @@ def mean_shift_smart_init(x: jax.Array, key: jax.Array, *, kappa: float = 20.0,
         # largest-cluster -> background relabel (mean_shift.py:217-227)
         labels, counts, valid_counts = assign_labels_pallas(
             xc, z, seed_labels, z_valid=z_valid)
-        label_max = jnp.argmax(counts).astype(jnp.int32)
-        swapped = jnp.where(labels == 0, label_max,
-                            jnp.where(labels == label_max, 0, labels))
-        labels = jnp.where(label_max != 0, swapped, labels)
+        labels, label_max = swap_background(labels, counts)
         if z_valid is not None and filter_threshold > 0:
             # per-cluster validity fraction is relabel-invariant; permute
             # the keep mask through the background swap and zero the rest

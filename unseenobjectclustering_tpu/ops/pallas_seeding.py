@@ -11,11 +11,12 @@ Semantics parity with the reference (lib/utils/mean_shift.py:128-189) and
 with select_smart_seeds: cosine distance 0.5 * (1 - X . seed), argmax of the
 min-distance vector picks each next seed.
 
-VMEM budget: X [n, d] must fit with d lane-padded to 128 (~6.4 MB for the
-224^2 zoom-in crops in bf16 — the kernel's main production user; the
-stride-4 640x480 case in bf16 and every full-resolution case exceed the
-budget and route to the exact lazy-bound blocked selection in
-ops/mean_shift.py instead).
+VMEM budget (select_seeds_dispatch checks the honest padded footprint,
+X with d lane-padded to 128 plus the [8, n] f32 scratch, against 20 MB):
+the 224^2 zoom-in crops in bf16 — the kernel's main production user —
+occupy ~14.5 MB; the stride-4 640x480 case in bf16 (~22 MB) and every
+full-resolution case exceed the budget and route to the exact lazy-bound
+blocked selection in ops/mean_shift.py instead.
 """
 
 from __future__ import annotations
@@ -27,9 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from unseenobjectclustering_tpu.ops.pallas_mean_shift import _round_up
 
 
 def _seeding_kernel(x_ref, first_ref, idx_ref, min_dist, *, num_seeds: int,
