@@ -49,11 +49,13 @@ def build_refine_pipeline(fast: bool, max_instances: int = 8,
     """Two-stage (zoom-in) demo-path benchmark (test_dataset.py:232-267).
 
     Stage 1 runs the full backbone + clustering + depth filter; stage 2
-    crops RoIs around a realistic instance set (the GT objects of one
+    crops RoIs around the instances stage 1 actually predicted (one
     procedurally rendered scene — deterministic and representative, ~5-8
-    instances), runs the zoom-in network on the padded crop batch, and
-    re-clusters each valid crop.  Host paste-back (~1 ms numpy, ops/roi.py
-    paste_back) is excluded: it cannot live inside the scan chain.
+    instances), after the same on-device _dense_relabel sparse-id remap
+    the production Segmentor._stage2_impl runs, then runs the zoom-in
+    network on the padded crop batch and re-clusters each valid crop.
+    Host paste-back (~1 ms numpy, ops/roi.py paste_back) is excluded: it
+    cannot live inside the scan chain.
     """
     import numpy as np
 
@@ -66,6 +68,7 @@ def build_refine_pipeline(fast: bool, max_instances: int = 8,
     from unseenobjectclustering_tpu.ops.preprocess import (compute_xyz,
                                                            normalize_bgr)
     from unseenobjectclustering_tpu.ops.roi import crop_rois, veto_and_order
+    from unseenobjectclustering_tpu.ops.train_pipeline import _dense_relabel
 
     cfg = Config.default()
     on_tpu = jax.default_backend() == "tpu"
@@ -81,13 +84,12 @@ def build_refine_pipeline(fast: bool, max_instances: int = 8,
 
     # one deterministic rendered scene: realistic object count / extents
     ds = SyntheticTabletopDataset("test", cfg, height=H, width=W, size=1)
-    bgr, depth_m, gt = ds.get_scene(0)
+    bgr, depth_m, _ = ds.get_scene(0)
     img = normalize_bgr(jnp.asarray(bgr), jnp.asarray(cfg.pixel_means))
     xyz = compute_xyz(jnp.asarray(depth_m.astype(np.float32) / 1000.0),
                       jnp.float32(ds.f), jnp.float32(ds.f),
                       jnp.float32(ds.cx), jnp.float32(ds.cy),
                       height=H, width=W)
-    gt_labels = jnp.asarray(gt.astype(np.int32))
 
     num_seeds = int(cfg.CLUSTER.NUM_SEEDS)
     ms_kw = dict(kappa=float(cfg.CLUSTER.KAPPA), num_seeds=num_seeds,
@@ -97,7 +99,7 @@ def build_refine_pipeline(fast: bool, max_instances: int = 8,
                  compute_dtype="bfloat16" if (fast and on_tpu) else "float32")
 
     @jax.jit
-    def run_frames(variables, variables_crop, img, xyz, gt_labels, keys):
+    def run_frames(variables, variables_crop, img, xyz, keys):
         def body(carry, key):
             img_i = img + carry * 1e-12  # serialize frames
             feats = model.apply(variables, img_i[None], xyz[None],
@@ -107,7 +109,10 @@ def build_refine_pipeline(fast: bool, max_instances: int = 8,
                 z_valid=(xyz[..., 2] > 0).reshape(H * W),
                 filter_threshold=0.8, **ms_kw)
             labels1 = res.labels.reshape(H, W)
-            crops = crop_rois(img_i, gt_labels, xyz,
+            # production route (Segmentor._stage2_impl): sparse post-filter
+            # ids -> dense, then crop the PREDICTED instances
+            labels_dense = _dense_relabel(labels1, max_id=num_seeds)
+            crops = crop_rois(img_i, labels_dense, xyz,
                               max_instances=max_instances,
                               crop_size=crop_size)
             feats_c = model_crop.apply(variables_crop, crops.rgb_crops,
@@ -125,7 +130,7 @@ def build_refine_pipeline(fast: bool, max_instances: int = 8,
         c, _ = jax.lax.scan(body, jnp.float32(0), keys)
         return c
 
-    args = (variables, variables_crop, img, xyz, gt_labels)
+    args = (variables, variables_crop, img, xyz)
     return run_frames, args
 
 
@@ -222,7 +227,52 @@ def build_pipeline(fast: bool, batch: int = 1, subsample: int = 4):
     return run_frames, variables
 
 
+def _metric_name() -> str:
+    if "--refine" in sys.argv:
+        return "rgbd_two_stage_fps_640x480"
+    if "--batch" in sys.argv:
+        return "rgbd_segmentation_batched_fps_640x480"
+    return "rgbd_segmentation_fps_640x480"
+
+
+def _emit_backend_error(detail: str) -> None:
+    """One structured JSON line so the driver log distinguishes a TPU
+    outage from a perf regression at a glance (round-2 BENCH failure mode:
+    rc=1 with a 40-line traceback when the axon tunnel was down)."""
+    print(json.dumps({
+        "metric": _metric_name(),
+        "value": None,
+        "unit": "frames/sec/chip",
+        "vs_baseline": None,
+        "error": "tpu-backend-unavailable",
+        "detail": detail[:300],
+    }))
+
+
+def _probe_backend(timeout_s: int = 240) -> None:
+    """Bound backend init: through the axon tunnel a dead backend either
+    raises ('Unable to initialize backend') or HANGS jax.devices() forever
+    (observed 5+ h, CLAUDE.md) — the SIGALRM turns the hang into the same
+    structured error line."""
+    import signal
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError(f"backend init exceeded {timeout_s}s")
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(timeout_s)
+    try:
+        jax.devices()
+    except Exception as exc:  # noqa: BLE001 - any init failure is an outage
+        _emit_backend_error(f"{type(exc).__name__}: {exc}")
+        sys.exit(3)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main():
+    _probe_backend()
     fast = "--parity" not in sys.argv
     refine = "--refine" in sys.argv
 
