@@ -32,6 +32,23 @@ def pytest_configure(config):
         "markers", "slow: multi-minute tests (subprocess dryruns, training)")
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run slow-marked tests (full CI-style suite; the "
+             "default loop stays < 4 min)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: pass --runslow (or RUN_SLOW=1) to include")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(3)  # cfg.RNG_SEED parity

@@ -123,3 +123,28 @@ def test_restore_checkpoint_epoch_addressed_dir(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     _, latest = restore_checkpoint(ckpt_dir)
     assert latest == 2
+
+def test_restore_empty_digit_named_run_dir(tmp_path):
+    """A run dir the user NAMED '16' with no snapshots yet must fail with
+    'no checkpoints under .../16', not be reinterpreted as step 16 of the
+    parent (ADVICE r2: digit-dir heuristic needs the orbax step marker)."""
+    import pytest
+
+    from unseenobjectclustering_tpu.utils.checkpoint import (
+        restore_checkpoint, resolve_step_dir, save_checkpoint)
+
+    run = tmp_path / "16"
+    run.mkdir()
+    mgr_dir, step = resolve_step_dir(str(run))
+    assert step is None and mgr_dir == str(run)
+    with pytest.raises(FileNotFoundError, match="no checkpoints"):
+        restore_checkpoint(str(run))
+
+    # ... and a REAL step dir (carries _CHECKPOINT_METADATA) still resolves
+    cfg = small_cfg()
+    state = create_train_state(cfg, network_name="seg_resnet34_8s_embedding",
+                               height=16, width=16)
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, 16, state)
+    mgr_dir, step = resolve_step_dir(f"{ckpt_dir}/16")
+    assert step == 16 and mgr_dir == ckpt_dir

@@ -140,3 +140,38 @@ def test_output_dir_anchored_at_repo_root(monkeypatch, tmp_path):
     out = get_output_dir(Config.default(), "ds")
     assert not out.startswith(str(tmp_path))
     assert out.endswith("output/default/ds")
+
+
+def test_hash_eq_contract_numeric_types():
+    """Trees that compare equal under dict __eq__ but differ in numeric
+    type (1 vs 1.0 vs True) must hash equal, or Config/Section silently
+    miss jit caches when riding as static arguments (ADVICE r2)."""
+    # the strict merge coerces/rejects mixed numeric types, so build the
+    # divergent trees directly (the form jit static args can carry)
+    ta, tb = default_dict(), default_dict()
+    ta["TRAIN"]["NUM_UNITS"] = 64
+    tb["TRAIN"]["NUM_UNITS"] = 64.0
+    a, b = Config(ta), Config(tb)
+    assert a == b
+    assert hash(a) == hash(b)
+    assert hash(a.TRAIN) == hash(b.TRAIN)
+    tc, td = default_dict(), default_dict()
+    tc["TRAIN"]["EMBEDDING_SAMPLING"] = True
+    td["TRAIN"]["EMBEDDING_SAMPLING"] = 1
+    c, d = Config(tc), Config(td)
+    assert c == d
+    assert hash(c) == hash(d)
+
+
+def test_replace_does_not_mutate_caller_override():
+    """replace(TRAIN={...}, **{'TRAIN.X': v}) must not write X into the
+    caller's dict (ADVICE r2: Mapping stored by reference + setdefault)."""
+    mine = {"NUM_UNITS": 8}
+    cfg = Config.default().replace(TRAIN=mine, **{"TRAIN.SYN_CROP": True})
+    assert cfg.TRAIN.NUM_UNITS == 8 and cfg.TRAIN.SYN_CROP is True
+    assert mine == {"NUM_UNITS": 8}
+    # dotted key first, nested dict second: same guarantee
+    mine2 = {"NUM_UNITS": 8}
+    cfg2 = Config.default().replace(**{"TRAIN.SYN_CROP": True}, TRAIN=mine2)
+    assert cfg2.TRAIN.NUM_UNITS == 8 and cfg2.TRAIN.SYN_CROP is True
+    assert mine2 == {"NUM_UNITS": 8}

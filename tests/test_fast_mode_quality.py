@@ -15,6 +15,8 @@ import jax.numpy as jnp
 from unseenobjectclustering_tpu.ops.mean_shift import mean_shift_smart_init
 from unseenobjectclustering_tpu.utils.evaluation import multilabel_metrics
 
+pytestmark = pytest.mark.slow  # multi-minute: full CI tier only (pytest --runslow)
+
 
 def synthetic_scene(rng, h=96, w=128, k=4, d=16, kappa_data=60.0):
     """Label image with k blob instances + background; embeddings are

@@ -46,6 +46,8 @@ from unseenobjectclustering_tpu.utils.checkpoint import (
     convert_torch_checkpoint)
 from unseenobjectclustering_tpu.utils.evaluation import multilabel_metrics
 
+pytestmark = pytest.mark.slow  # multi-minute: full CI tier only (pytest --runslow)
+
 H, W = 240, 320
 NUM_UNITS = 8
 LAYERS = (1, 1, 1, 1)
@@ -161,15 +163,24 @@ def oracle_match_label_crop(initial_labels, labels_crop, mask_crops, rois,
     return refined
 
 
-def torch_pipeline(twin, img, xyz, gt, depth_threshold=0.8):
-    """Full reference-semantics inference on one scene (CPU torch+numpy)."""
-    with torch.no_grad():
-        feats = twin(torch.tensor(img.transpose(2, 0, 1))[None],
-                     torch.tensor(xyz.transpose(2, 0, 1))[None])
-    feats = feats[0].numpy().transpose(1, 2, 0)
-    x = feats.reshape(-1, NUM_UNITS).astype(np.float32)
-    labels = oracle_mean_shift(x, FIRST_SEED, NUM_SEEDS).reshape(H, W)
-    labels = oracle_filter_labels_depth(labels, xyz, depth_threshold)
+def torch_pipeline(twin, img, xyz, gt, depth_threshold=0.8,
+                   stage1_labels=None):
+    """Full reference-semantics inference on one scene (CPU torch+numpy).
+
+    stage1_labels: when given, skip stage 1 and refine THESE labels — the
+    bisect mode that isolates stage-2 semantics from stage-1 cascade noise
+    (tools/parity_oracle.py --common-stage1).
+    """
+    if stage1_labels is not None:
+        labels = np.asarray(stage1_labels, np.int32).copy()
+    else:
+        with torch.no_grad():
+            feats = twin(torch.tensor(img.transpose(2, 0, 1))[None],
+                         torch.tensor(xyz.transpose(2, 0, 1))[None])
+        feats = feats[0].numpy().transpose(1, 2, 0)
+        x = feats.reshape(-1, NUM_UNITS).astype(np.float32)
+        labels = oracle_mean_shift(x, FIRST_SEED, NUM_SEEDS).reshape(H, W)
+        labels = oracle_filter_labels_depth(labels, xyz, depth_threshold)
 
     crops = oracle_crop_rois(img, labels, xyz, CROP_SIZE)
     labels_crop, mask_crops, rois, depth_crops = [], [], [], []
@@ -189,17 +200,24 @@ def torch_pipeline(twin, img, xyz, gt, depth_threshold=0.8):
 
 
 def jax_pipeline(fmodel, variables, img, xyz, depth_threshold=0.8,
-                 max_instances=16):
-    """The JAX stack with the same pinned seed choices."""
-    feats = fmodel.apply(variables, jnp.asarray(img)[None],
-                         jnp.asarray(xyz)[None], train=False)
-    res = mean_shift_smart_init(
-        feats.reshape(H * W, NUM_UNITS), jax.random.key(0), kappa=KAPPA,
-        num_seeds=NUM_SEEDS, max_iters=MAX_ITERS, epsilon=EPS,
-        use_pallas=False, first_index=jnp.int32(FIRST_SEED))
-    labels = filter_labels_depth(res.labels.reshape(H, W),
-                                 jnp.asarray(xyz), depth_threshold,
-                                 max_labels=NUM_SEEDS + 1)
+                 max_instances=16, stage1_labels=None):
+    """The JAX stack with the same pinned seed choices.
+
+    stage1_labels: when given, skip stage 1 and refine THESE labels (see
+    torch_pipeline) so both stacks' zoom-in paths start from one label map.
+    """
+    if stage1_labels is not None:
+        labels = jnp.asarray(stage1_labels, jnp.int32)
+    else:
+        feats = fmodel.apply(variables, jnp.asarray(img)[None],
+                             jnp.asarray(xyz)[None], train=False)
+        res = mean_shift_smart_init(
+            feats.reshape(H * W, NUM_UNITS), jax.random.key(0), kappa=KAPPA,
+            num_seeds=NUM_SEEDS, max_iters=MAX_ITERS, epsilon=EPS,
+            use_pallas=False, first_index=jnp.int32(FIRST_SEED))
+        labels = filter_labels_depth(res.labels.reshape(H, W),
+                                     jnp.asarray(xyz), depth_threshold,
+                                     max_labels=NUM_SEEDS + 1)
 
     crops = crop_rois(jnp.asarray(img), labels, jnp.asarray(xyz),
                       max_instances=max_instances, crop_size=CROP_SIZE)

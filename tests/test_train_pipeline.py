@@ -14,6 +14,8 @@ import pytest
 from unseenobjectclustering_tpu.config import Config
 from unseenobjectclustering_tpu.ops import train_pipeline as tp
 
+pytestmark = pytest.mark.slow  # multi-minute: full CI tier only (pytest --runslow)
+
 
 def test_sample_pixels_device_exact_counts():
     rng = np.random.RandomState(0)

@@ -15,6 +15,8 @@ from unseenobjectclustering_tpu.ops.train_pipeline import (
     _crop_bilinear_cv2, _crop_nearest_cv2, _dense_relabel,
     make_device_augment_crop)
 
+pytestmark = pytest.mark.slow  # multi-minute tier (pytest --runslow)
+
 H, W, S = 48, 64, 32
 
 

@@ -22,6 +22,8 @@ from unseenobjectclustering_tpu.engine.train import (create_train_state,
                                                      train_epochs_resident)
 from unseenobjectclustering_tpu.parallel import make_mesh, replicate
 
+pytestmark = pytest.mark.slow  # multi-minute: full CI tier only (pytest --runslow)
+
 H, W, N = 32, 32, 12
 FX = FY = 16.0
 PX, PY = W / 2.0, H / 2.0

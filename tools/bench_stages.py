@@ -12,7 +12,17 @@ one pipeline stage; the deltas attribute ms/frame to each stage:
   +climb         vMF hill climb + connected components + assignment
   +filter        depth validity filter (= bench.py's full stage 1)
 
-Usage: python tools/bench_stages.py [--parity]
+--stage2 appends the zoom-in attribution on top of the full stage 1
+(the production Segmentor._stage2_impl route bench.py --refine times):
+
+  +relabel       sparse post-filter ids -> dense (_dense_relabel)
+  +crop          RoI extraction + resize to crop_size^2 (crop_rois)
+  +cropfwd       zoom-in network forward on the padded crop batch
+  +cropclust     per-crop mean-shift re-clustering (_cluster_crops)
+  +veto          overlap veto + depth ordering (veto_and_order)
+
+Usage: python tools/bench_stages.py [--parity] [--stage2]
+           [--crop-size 128] [--crop-net seg_resnet18_8s_embedding]
 """
 
 import argparse
@@ -34,6 +44,11 @@ def main():
     ap.add_argument("--iters", type=int, default=ITERS)
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--stage2", action="store_true",
+                    help="attribute the zoom-in stages on top of stage 1")
+    ap.add_argument("--crop-size", type=int, default=224)
+    ap.add_argument("--crop-net", default="seg_resnet34_8s_embedding")
+    ap.add_argument("--max-instances", type=int, default=8)
     args = ap.parse_args()
     global H, W
     if args.height:
@@ -138,6 +153,120 @@ def main():
     total = results[-1][1]
     print(f"full stage-1: {total:.2f} ms/frame = {1e3 / total:.1f} fps "
           f"({'fast' if fast else 'parity'})")
+
+    if not args.stage2:
+        return
+
+    # -- stage-2 attribution (the bench.py --refine route) -------------------
+    from unseenobjectclustering_tpu.data.synthetic import (
+        SyntheticTabletopDataset)
+    from unseenobjectclustering_tpu.engine.pipeline import _cluster_crops
+    from unseenobjectclustering_tpu.ops.preprocess import (compute_xyz,
+                                                           normalize_bgr)
+    from unseenobjectclustering_tpu.ops.roi import crop_rois, veto_and_order
+    from unseenobjectclustering_tpu.ops.train_pipeline import _dense_relabel
+
+    crop_size = args.crop_size
+    max_instances = args.max_instances
+    model_crop = get_network(args.crop_net, cfg, dtype=model_dtype)
+    zc = jnp.zeros((1, crop_size, crop_size, 3), jnp.float32)
+    variables_crop = model_crop.init(jax.random.PRNGKey(4), zc, zc,
+                                     train=False)
+
+    # one deterministic rendered scene: realistic instance count/extents
+    # (random pixels under-populate stage 2; same choice as bench.py)
+    ds = SyntheticTabletopDataset("test", cfg, height=H, width=W, size=1)
+    sc_bgr, sc_depth, _ = ds.get_scene(0)
+    sc_img = normalize_bgr(jnp.asarray(sc_bgr), pixel_means)
+    sc_xyz = compute_xyz(jnp.asarray(sc_depth.astype(np.float32) / 1000.0),
+                         jnp.float32(ds.f), jnp.float32(ds.f),
+                         jnp.float32(ds.cx), jnp.float32(ds.cy),
+                         height=H, width=W)
+
+    def s1(img_i, key):
+        feats = model.apply(variables, img_i[None], sc_xyz[None],
+                            train=False)
+        res = mean_shift_smart_init(
+            feats.reshape(H * W, feats.shape[-1]), key,
+            z_valid=(sc_xyz[..., 2] > 0).reshape(H * W),
+            filter_threshold=0.8, **ms_kw)
+        return img_i, res.labels.reshape(H, W)
+
+    def v_stage1(img_i, key):
+        _, labels1 = s1(img_i, key)
+        return labels1.sum().astype(jnp.float32)
+
+    def v_relabel(img_i, key):
+        _, labels1 = s1(img_i, key)
+        dense = _dense_relabel(labels1, max_id=num_seeds)
+        return dense.sum().astype(jnp.float32)
+
+    def _to_crops(img_i, key):
+        img_i, labels1 = s1(img_i, key)
+        dense = _dense_relabel(labels1, max_id=num_seeds)
+        return labels1, crop_rois(img_i, dense, sc_xyz,
+                                  max_instances=max_instances,
+                                  crop_size=crop_size)
+
+    def v_crop(img_i, key):
+        labels1, crops = _to_crops(img_i, key)
+        return (labels1.sum() + crops.rgb_crops.sum().astype(jnp.int32)
+                ).astype(jnp.float32)
+
+    def v_cropfwd(img_i, key):
+        labels1, crops = _to_crops(img_i, key)
+        feats_c = model_crop.apply(variables_crop, crops.rgb_crops,
+                                   crops.depth_crops, train=False)
+        return (labels1.sum().astype(jnp.float32) + feats_c.sum()
+                .astype(jnp.float32))
+
+    def _to_labels_crop(img_i, key):
+        labels1, crops = _to_crops(img_i, key)
+        feats_c = model_crop.apply(variables_crop, crops.rgb_crops,
+                                   crops.depth_crops, train=False)
+        keys_c = jax.random.split(key, max_instances)
+        return labels1, crops, _cluster_crops(feats_c, crops.valid, keys_c,
+                                              **ms_kw)
+
+    def v_cropclust(img_i, key):
+        labels1, _, labels_crop = _to_labels_crop(img_i, key)
+        return (labels1.sum() + labels_crop.sum()).astype(jnp.float32)
+
+    def v_veto(img_i, key):
+        labels1, crops, labels_crop = _to_labels_crop(img_i, key)
+        labels_veto, order_key = veto_and_order(
+            labels_crop, crops.mask_crops, crops.depth_crops[..., 2],
+            crops.valid, max_labels=num_seeds + 1)
+        return (labels1.sum() + labels_veto.sum()
+                + order_key.sum().astype(jnp.int32)).astype(jnp.float32)
+
+    s2_results = []
+    for name, fn in [("stage1*", v_stage1), ("+relabel", v_relabel),
+                     ("+crop", v_crop), ("+cropfwd", v_cropfwd),
+                     ("+cropclust", v_cropclust), ("+veto", v_veto)]:
+
+        @jax.jit
+        def run(variables_, keys_, fn=fn):
+            def body(carry, key):
+                img_i = sc_img + carry * 1e-12  # serialize frames
+                return fn(img_i, key), ()
+            c, _ = jax.lax.scan(body, jnp.float32(0), keys_)
+            return c
+
+        np.asarray(run(variables, keys))  # compile + warm
+        t0 = time.perf_counter()
+        np.asarray(run(variables, keys))
+        ms = (time.perf_counter() - t0) / args.iters * 1e3
+        delta = ms - s2_results[-1][1] if s2_results else 0.0
+        s2_results.append((name, ms))
+        print(f"{name:10s} {ms:7.2f} ms/frame  (+{delta:5.2f})", flush=True)
+
+    total2 = s2_results[-1][1]
+    print(f"two-stage: {total2:.2f} ms/frame = {1e3 / total2:.1f} fps "
+          f"(crop {crop_size}^2 {args.crop_net}, "
+          f"{'fast' if fast else 'parity'}; "
+          "stage1* re-times stage 1 on the rendered scene — deltas below "
+          "it attribute the zoom-in)")
 
 
 if __name__ == "__main__":

@@ -40,6 +40,13 @@ def main():
     p.add_argument("--num-units", type=int, default=64)
     p.add_argument("--crop-size", type=int, default=224)
     p.add_argument("--out", default="docs/PARITY_RUN.md")
+    p.add_argument("--common-stage1", action="store_true",
+                   help="bisect mode: feed the torch stack's stage-1 labels "
+                        "into BOTH stacks' zoom-in paths, so the refined "
+                        "deltas isolate stage-2 semantics from stage-1 "
+                        "cascade noise (tiny fp differences in stage-1 "
+                        "labels move ROI boxes, which moves every "
+                        "downstream crop)")
     p.add_argument("--pretrained", default=None,
                    help="orbax checkpoint dir or .pth: run the comparison "
                         "on trained weights (exported to the torch twin via "
@@ -124,7 +131,9 @@ def main():
         t_labels, t_refined = po.torch_pipeline(twin, img, xyz, gt)
         t_torch = time.time() - t0
         t0 = time.time()
-        j_labels, j_refined = po.jax_pipeline(fmodel, variables, img, xyz)
+        j_labels, j_refined = po.jax_pipeline(
+            fmodel, variables, img, xyz,
+            stage1_labels=t_labels if args.common_stage1 else None)
         t_jax = time.time() - t0
 
         r = {"scene": scene, "torch_s": t_torch, "jax_s": t_jax,
@@ -172,11 +181,23 @@ def main():
     b2 = np.abs(col("tBF2") - col("jBF2"))
     lines += [
         "",
+        f"Mean |delta|: stage-1 Objects F {d1.mean():.4f}, Boundary F "
+        f"{b1.mean():.4f}; refined Objects F {d2.mean():.4f}, Boundary F "
+        f"{b2.mean():.4f}.",
         f"Max |delta|: stage-1 Objects F {d1.max():.4f}, Boundary F "
         f"{b1.max():.4f}; refined Objects F {d2.max():.4f}, Boundary F "
         f"{b2.max():.4f}.  Mean stage-1 pixel agreement "
         f"{col('agree1').mean():.4f}.",
     ]
+    if args.common_stage1:
+        lines += [
+            "",
+            "Mode: --common-stage1 — both stacks refined the TORCH stack's "
+            "stage-1 labels, so stage-1 columns are identical by "
+            "construction and the refined deltas above measure stage-2 "
+            "semantics alone (crop extraction, zoom-in forward, per-crop "
+            "clustering, veto/order, paste-back).",
+        ]
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as fh:
         fh.write("\n".join(lines) + "\n")

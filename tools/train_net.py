@@ -60,6 +60,9 @@ def parse_args():
     parser.add_argument("--render-cache", type=str, default=None,
                         help="on-disk scene cache dir for the procedural "
                              "renderer (see tools/render_dataset.py)")
+    parser.add_argument("--keep", type=int, default=4,
+                        help="orbax snapshots to retain (disk budget: "
+                             "study runs keep<=2, flagship may keep more)")
     if len(sys.argv) == 1:
         parser.print_help()
         sys.exit(1)
@@ -188,12 +191,13 @@ def main():
                               solver=args.solver, output_dir=output_dir,
                               mesh=mesh, max_k=args.max_k,
                               intrinsics=intrinsics, seed=int(cfg.RNG_SEED),
-                              crop=bool(cfg.TRAIN.SYN_CROP))
+                              crop=bool(cfg.TRAIN.SYN_CROP), keep=args.keep)
     else:
         train_epochs(cfg, state, loader, epochs=args.epochs,
                      start_epoch=args.startepoch, solver=args.solver,
                      output_dir=output_dir, mesh=mesh, max_k=args.max_k,
-                     intrinsics=intrinsics, seed=int(cfg.RNG_SEED))
+                     intrinsics=intrinsics, seed=int(cfg.RNG_SEED),
+                     keep=args.keep)
 
 
 if __name__ == "__main__":

@@ -346,6 +346,19 @@ _TupleSafeLoader.add_constructor(
     lambda loader, node: tuple(loader.construct_sequence(node)))
 
 
+def _canon_numbers(v: Any) -> Any:
+    """Map every numeric leaf (bool/int/float) to float so values that
+    compare equal under dict __eq__ (1 == 1.0 == True) serialize — and
+    therefore hash — identically."""
+    if isinstance(v, (bool, int, float)):
+        return float(v)
+    if isinstance(v, dict):
+        return {k: _canon_numbers(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_canon_numbers(x) for x in v]
+    return v
+
+
 class Section:
     """Read-only attribute view over one config section."""
 
@@ -380,7 +393,12 @@ class Section:
         return NotImplemented
 
     def __hash__(self):
-        return hash(tuple(sorted((k, str(v)) for k, v in self._d.items())))
+        # same canonical form Config hashes (and __eq__ compares): numeric
+        # leaves normalized to float, JSON text otherwise
+        import json
+
+        return hash(json.dumps(_canon_numbers(self._d), sort_keys=True,
+                               default=list))
 
     def __repr__(self) -> str:
         return f"Section({self._d!r})"
@@ -413,10 +431,14 @@ class Config:
 
     def __hash__(self) -> int:
         # the frozen dataclass's auto-hash raises on the dict field; a
-        # canonical-JSON hash lets Config ride as a jit static argument
+        # canonical-JSON hash lets Config ride as a jit static argument.
+        # Numbers are canonicalized first: dict __eq__ treats 1 == 1.0 ==
+        # True, so trees differing only in numeric type must hash equal or
+        # Config silently misses jit caches when used as a static arg.
         import json
 
-        return hash(json.dumps(self._tree, sort_keys=True, default=list))
+        return hash(json.dumps(_canon_numbers(self._tree), sort_keys=True,
+                               default=list))
 
     def __eq__(self, other) -> bool:
         return isinstance(other, Config) and self._tree == other._tree
@@ -469,12 +491,17 @@ class Config:
                 node[rest.split(".")[-1]] = v
             else:
                 # nested dicts merge with any dotted keys for the same
-                # section instead of overwriting them
+                # section instead of overwriting them; Mappings are copied
+                # on insert so a later dotted key for the same section
+                # mutates OUR staging dict, never the caller's override
+                # object (replace(TRAIN={...}, **{'TRAIN.B': 2}) must not
+                # write B into the caller's dict)
                 if (isinstance(v, Mapping)
                         and isinstance(expanded.get(k), dict)):
-                    expanded[k].update(v)
+                    expanded[k].update(copy.deepcopy(dict(v)))
                 else:
-                    expanded[k] = v
+                    expanded[k] = (copy.deepcopy(dict(v))
+                                   if isinstance(v, Mapping) else v)
         tree = copy.deepcopy(self._tree)
         _merge(expanded, tree)
         return Config(tree)

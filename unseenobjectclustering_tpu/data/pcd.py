@@ -81,6 +81,56 @@ def _lzf_decompress_py(data: bytes, expected_size: int) -> bytes:
     return bytes(out[:o])
 
 
+def lzf_compress(data: bytes) -> bytes:
+    """LZF compression (the PCL binary_compressed codec's encoder side).
+
+    Standard LZF format: control bytes < 32 start a literal run of ctrl+1
+    bytes; otherwise a back-reference of (ctrl >> 5) + 2 bytes (7 -> +ext
+    byte) at offset ((ctrl & 0x1F) << 8 | next) + 1.  Used to WRITE
+    reference-format OCID/OSD-style fixtures (the real datasets ship
+    binary_compressed PCDs, lib/datasets/ocid_object.py:104-112); round-trip
+    safety is pinned against both decompressors in tests/test_data.py.
+    """
+    n = len(data)
+    out = bytearray()
+    htab: dict[bytes, int] = {}
+    i = 0
+    lit = 0  # start of the pending literal run
+
+    def flush(end: int) -> None:
+        s = lit
+        while s < end:
+            run = min(32, end - s)
+            out.append(run - 1)
+            out.extend(data[s:s + run])
+            s += run
+
+    while i < n - 2:
+        key = data[i:i + 3]
+        ref = htab.get(key, -1)
+        htab[key] = i
+        off = i - ref - 1
+        if ref >= 0 and off < 8192:
+            max_len = min(n - i, 264)  # 2 + 7 + 255
+            length = 3
+            while length < max_len and data[ref + length] == data[i + length]:
+                length += 1
+            flush(i)
+            enc = length - 2
+            if enc < 7:
+                out.append((enc << 5) | (off >> 8))
+            else:
+                out.append((7 << 5) | (off >> 8))
+                out.append(enc - 7)
+            out.append(off & 0xFF)
+            i += length
+            lit = i
+        else:
+            i += 1
+    flush(n)
+    return bytes(out)
+
+
 def _numpy_dtype(type_char: str, size: int):
     return np.dtype({"F": f"<f{size}", "I": f"<i{size}",
                      "U": f"<u{size}"}[type_char])
@@ -165,23 +215,37 @@ def load_pcd_xyz(path: str | os.PathLike) -> np.ndarray:
 
 def save_pcd_xyz(path: str | os.PathLike, xyz: np.ndarray,
                  width: int | None = None, height: int | None = None,
-                 binary: bool = True) -> None:
+                 binary: bool = True, compressed: bool = False) -> None:
     """Write an [N, 3] (or [H, W, 3]) float32 cloud as a PCD file (testing
-    and dataset-preparation helper)."""
+    and dataset-preparation helper).
+
+    compressed=True writes DATA binary_compressed — LZF over the SoA field
+    layout with the <compressed_size, uncompressed_size> prefix, the format
+    the real OCID/OSD datasets ship."""
     if xyz.ndim == 3:
         height, width = xyz.shape[:2]
         xyz = xyz.reshape(-1, 3)
     n = xyz.shape[0]
     width = width or n
     height = height or 1
+    kind = "binary_compressed" if compressed else (
+        "binary" if binary else "ascii")
     header = (
         "# .PCD v0.7 - Point Cloud Data file format\n"
         "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
         f"WIDTH {width}\nHEIGHT {height}\nVIEWPOINT 0 0 0 1 0 0 0\n"
-        f"POINTS {n}\nDATA {'binary' if binary else 'ascii'}\n")
+        f"POINTS {n}\nDATA {kind}\n")
     with open(path, "wb") as f:
         f.write(header.encode("ascii"))
-        if binary:
+        if compressed:
+            # compressed PCDs store fields contiguously (SoA): all x, all
+            # y, all z — the layout load_pcd_xyz's branch expects
+            soa = np.ascontiguousarray(
+                np.asarray(xyz, np.float32).T).tobytes()
+            comp = lzf_compress(soa)
+            f.write(struct.pack("<II", len(comp), len(soa)))
+            f.write(comp)
+        elif binary:
             f.write(np.ascontiguousarray(xyz, np.float32).tobytes())
         else:
             np.savetxt(f, xyz, fmt="%.8g")

@@ -44,21 +44,12 @@ def load_network_variables(cfg: Config, network_name: str,
         return variables
     if os.path.isdir(pretrained):
         from unseenobjectclustering_tpu.utils.checkpoint import (
-            restore_checkpoint)
-        # `dir/12` selects epoch 12 from the manager dir `dir`; a bare
-        # manager dir restores its latest snapshot.  A digit-named dir that
-        # itself contains digit step dirs IS a manager dir (e.g. a run the
-        # user named "16"), not a step reference.
-        base = os.path.basename(os.path.normpath(pretrained))
-        has_step_dirs = any(
-            e.isdigit() and os.path.isdir(os.path.join(pretrained, e))
-            for e in os.listdir(pretrained))
-        if base.isdigit() and not has_step_dirs:
-            restored, step = restore_checkpoint(
-                os.path.dirname(os.path.normpath(pretrained)),
-                step=int(base))
-        else:
-            restored, step = restore_checkpoint(pretrained)
+            restore_checkpoint, resolve_step_dir)
+        # `dir/12` selects epoch 12 from the manager dir `dir` (only when
+        # `12` carries orbax's step marker); a bare manager dir restores
+        # its latest snapshot
+        mgr_dir, step = resolve_step_dir(pretrained)
+        restored, step = restore_checkpoint(mgr_dir, step=step)
         print(f"=> restored orbax checkpoint step {step} from {pretrained}")
         return {"params": restored["params"],
                 "batch_stats": restored["batch_stats"]}

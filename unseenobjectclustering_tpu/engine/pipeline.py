@@ -339,9 +339,26 @@ class Segmentor:
           xyz: [B, H, W, 3] XYZ point-cloud image (ops.preprocess.compute_xyz)
             or None when cfg.INPUT == 'COLOR'.
           refine: run the stage-2 zoom-in network (if one was given).
+
+        Arbitrary sizes: inputs whose H/W are not multiples of 16 are
+        zero-padded bottom/right before the compiled graphs and the label
+        outputs cropped back (the reference pads every demo/ROS frame the
+        same way, lib/utils/blob.py:48-71 via tools/test_images.py:105-135;
+        padded depth is z=0, so pad-region clusters fail the depth-validity
+        filter exactly like the reference's).  Each distinct padded (H, W)
+        compiles once (jit caches per shape).
         """
         timing: dict[str, float] = {}
         t0 = time.perf_counter()
+        ref_shape = (image if image is not None else xyz).shape
+        orig_hw = (int(ref_shape[1]), int(ref_shape[2]))
+        ph = (-orig_hw[0]) % 16
+        pw = (-orig_hw[1]) % 16
+        if ph or pw:
+            pad = ((0, 0), (0, ph), (0, pw), (0, 0))
+            image = np.pad(np.asarray(image), pad) if image is not None \
+                else None
+            xyz = np.pad(np.asarray(xyz), pad) if xyz is not None else None
         img_d = jnp.asarray(image) if image is not None else None
         xyz_d = jnp.asarray(xyz) if xyz is not None else None
 
@@ -383,8 +400,18 @@ class Segmentor:
             timing["stage2"] = time.perf_counter() - t1
 
         timing["total"] = time.perf_counter() - t0
+        if ph or pw:  # crop back to the caller's (H, W)
+            h, w = orig_hw
+            labels_np = labels_np[:, :h, :w]
+            if labels_refined is not None:
+                labels_refined = labels_refined[:, :h, :w]
+        feats_np = None
+        if return_features:
+            feats_np = np.asarray(features)
+            if ph or pw:
+                feats_np = feats_np[:, :orig_hw[0], :orig_hw[1]]
         return SegmentationResult(
             labels=labels_np,
             labels_refined=labels_refined,
-            features=np.asarray(features) if return_features else None,
+            features=feats_np,
             timing=timing)

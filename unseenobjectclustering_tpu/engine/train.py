@@ -193,7 +193,7 @@ def train_epochs(cfg: Config, state: TrainState, dataloader, *,
                  mesh=None, max_k: int = 32, log_every: int = 20,
                  snapshot_epochs: Optional[int] = None,
                  intrinsics: Optional[tuple] = None,
-                 seed: int = 3) -> TrainState:
+                 seed: int = 3, keep: int = 4) -> TrainState:
     """Epoch loop with per-iteration logging and orbax snapshots.
 
     Mirrors tools/train_net.py:146-160 + lib/fcn/train.py:37-76: per-iter
@@ -268,7 +268,9 @@ def train_epochs(cfg: Config, state: TrainState, dataloader, *,
                            or epoch == epochs - 1):
             from unseenobjectclustering_tpu.utils.checkpoint import (
                 save_checkpoint)
-            path = save_checkpoint(output_dir, epoch + 1, state)
+            # keep=4 by default: ~0.5 GB/snapshot at flagship size — the
+            # disk budget (CLAUDE.md) allows hoarding only for the flagship
+            path = save_checkpoint(output_dir, epoch + 1, state, keep=keep)
             print(f"snapshot: {path}")
     return state
 
@@ -331,7 +333,8 @@ def train_epochs_resident(cfg: Config, state: TrainState, scenes, *,
                           max_k: int = 32, log_every: int = 20,
                           snapshot_epochs: Optional[int] = None,
                           intrinsics: tuple = None,
-                          seed: int = 3, crop: bool = False) -> TrainState:
+                          seed: int = 3, crop: bool = False,
+                          keep: int = 4) -> TrainState:
     """Epoch loop over a device-resident dataset.
 
     Scene order and augmentation streams match train_epochs + DataLoader
@@ -386,7 +389,7 @@ def train_epochs_resident(cfg: Config, state: TrainState, scenes, *,
                            or epoch == epochs - 1):
             from unseenobjectclustering_tpu.utils.checkpoint import (
                 save_checkpoint)
-            path = save_checkpoint(output_dir, epoch + 1, state)
+            path = save_checkpoint(output_dir, epoch + 1, state, keep=keep)
             print(f"snapshot: {path}", flush=True)
     return state
 

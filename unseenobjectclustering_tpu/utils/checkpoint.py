@@ -350,6 +350,27 @@ def save_checkpoint(directory: str | os.PathLike, step: int, state: Any,
     return os.path.join(directory, str(step))
 
 
+def resolve_step_dir(directory: str | os.PathLike) -> tuple[str, Optional[int]]:
+    """Split an epoch-addressed step dir ``mgr_dir/N`` into (mgr_dir, N).
+
+    A digit-named directory is reinterpreted as a step reference into its
+    parent only when it actually IS an orbax step dir (it carries the
+    ``_CHECKPOINT_METADATA`` marker orbax writes on commit).  Both a run
+    the user named e.g. "16" that holds digit step dirs and an EMPTY
+    digit-named manager dir (a run with no snapshots yet) stay manager
+    dirs, so the latter fails with "no checkpoints under .../16" instead
+    of a confusing "step 16 not found" in the parent.  Shared by
+    restore_checkpoint and engine/builder.load_network_variables.
+    """
+    directory = os.path.abspath(os.fspath(directory))
+    base = os.path.basename(os.path.normpath(directory))
+    if (base.isdigit() and os.path.isdir(directory)
+            and os.path.exists(
+                os.path.join(directory, "_CHECKPOINT_METADATA"))):
+        return os.path.dirname(os.path.normpath(directory)), int(base)
+    return directory, None
+
+
 def restore_checkpoint(directory: str | os.PathLike,
                        step: Optional[int] = None,
                        target: Optional[Any] = None) -> Any:
@@ -363,16 +384,8 @@ def restore_checkpoint(directory: str | os.PathLike,
     import orbax.checkpoint as ocp
 
     directory = os.path.abspath(directory)
-    base = os.path.basename(os.path.normpath(directory))
-    if base.isdigit() and os.path.isdir(directory) and step is None:
-        # a digit-named dir that itself holds digit step dirs IS a manager
-        # dir (a run the user named "16"), not a step reference
-        has_step_dirs = any(
-            e.isdigit() and os.path.isdir(os.path.join(directory, e))
-            for e in os.listdir(directory))
-        if not has_step_dirs:
-            step = int(base)
-            directory = os.path.dirname(os.path.normpath(directory))
+    if step is None:
+        directory, step = resolve_step_dir(directory)
     with ocp.CheckpointManager(directory) as mgr:
         step = step if step is not None else mgr.latest_step()
         if step is None:
