@@ -246,6 +246,34 @@ def jax_pipeline(fmodel, variables, img, xyz, depth_threshold=0.8,
 
 # ---------------------------------------------------------------------------
 
+def build_jax_model():
+    """Dual-tower 'add' SEGNET over the module-level LAYERS/NUM_UNITS —
+    the torch twin's flax counterpart at any topology (the production
+    factory only exposes the resnet18/34 presets).  Shared with
+    tools/parity_oracle.py, which overrides the module dims first."""
+    import flax.linen as nn
+
+    from unseenobjectclustering_tpu.models.resnet import ResNetFCN
+
+    layers, num_units = LAYERS, NUM_UNITS
+
+    class SmallSegnet(nn.Module):
+        @nn.compact
+        def __call__(self, img, depth, *, train=False):
+            f1 = ResNetFCN(block="basic", layers=layers,
+                           num_classes=num_units, output_stride=8,
+                           name="fcn")(img, train=train)
+            f2 = ResNetFCN(block="basic", layers=layers,
+                           num_classes=num_units, output_stride=8,
+                           name="fcn_depth")(depth, train=train)
+            f = f1 + f2
+            norm = jnp.sqrt(jnp.maximum(
+                jnp.sum(f * f, axis=-1, keepdims=True), 1e-24))
+            return f / jnp.maximum(norm, 1e-12)
+
+    return SmallSegnet()
+
+
 @pytest.fixture(scope="module")
 def stacks():
     rng = np.random.RandomState(7)
@@ -256,25 +284,7 @@ def stacks():
     twin.eval()
     sd = {"module." + k: v for k, v in twin.state_dict().items()}
 
-    import flax.linen as nn
-
-    from unseenobjectclustering_tpu.models.resnet import ResNetFCN
-
-    class SmallSegnet(nn.Module):
-        @nn.compact
-        def __call__(self, img, depth, *, train=False):
-            f1 = ResNetFCN(block="basic", layers=LAYERS,
-                           num_classes=NUM_UNITS, output_stride=8,
-                           name="fcn")(img, train=train)
-            f2 = ResNetFCN(block="basic", layers=LAYERS,
-                           num_classes=NUM_UNITS, output_stride=8,
-                           name="fcn_depth")(depth, train=train)
-            f = f1 + f2
-            norm = jnp.sqrt(jnp.maximum(
-                jnp.sum(f * f, axis=-1, keepdims=True), 1e-24))
-            return f / jnp.maximum(norm, 1e-12)
-
-    fmodel = SmallSegnet()
+    fmodel = build_jax_model()
     init_vars = fmodel.init(jax.random.key(0),
                             jnp.zeros((1, H, W, 3), jnp.float32),
                             jnp.zeros((1, H, W, 3), jnp.float32),

@@ -92,8 +92,12 @@ def main():
 
     cfg = Config.from_dict({"INPUT": "RGBD", "MODE": "TEST",
                             "TRAIN": {"NUM_UNITS": po.NUM_UNITS}})
-    fmodel = get_network("seg_resnet34_8s_embedding", cfg,
-                         num_units=po.NUM_UNITS)
+    if tuple(po.LAYERS) == (3, 4, 6, 3):
+        fmodel = get_network("seg_resnet34_8s_embedding", cfg,
+                             num_units=po.NUM_UNITS)
+    else:
+        # toy topologies (quick bisects) share the test module's builder
+        fmodel = po.build_jax_model()
     z = jnp.zeros((1, po.H, po.W, 3), jnp.float32)
     init_vars = fmodel.init(jax.random.key(0), z, z, train=False)
 
