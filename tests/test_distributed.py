@@ -193,5 +193,13 @@ def test_two_process_distributed_training_matches_single(tmp_path):
         parts = line.split()
         got_losses = [float(v) for v in parts[2:5]]
         got_cksum = float(parts[5])
-        np.testing.assert_allclose(got_losses, want_losses, rtol=2e-4)
-        np.testing.assert_allclose(got_cksum, want_cksum, rtol=2e-4)
+        # step 1 is the semantic assertion: same global batch, same loss,
+        # same DP mean -> any wiring bug (wrong slice, double-mean, missing
+        # all-reduce) shows up orders of magnitude above fp noise.  Later
+        # steps drift chaotically: the cross-process all-reduce reduces in
+        # a different order than the single-process mesh, and the loss's
+        # hard-negative gates amplify ~1e-7 fp noise (measured: 3.7e-4 rel
+        # by step 2, 1.3e-2 by step 3), so only bounded drift is asserted.
+        np.testing.assert_allclose(got_losses[0], want_losses[0], rtol=1e-5)
+        np.testing.assert_allclose(got_losses, want_losses, rtol=5e-2)
+        np.testing.assert_allclose(got_cksum, want_cksum, rtol=1e-2)
