@@ -55,7 +55,14 @@ def main():
                         "making the metric comparison vacuous")
     args = p.parse_args()
 
+    # CPU-only oracle: the container's sitecustomize pins the axon TPU
+    # platform and ignores the env var, so force the platform through
+    # jax.config BEFORE any jax op (the tests/conftest.py technique) — a
+    # second process touching the tunnel would fight the training job
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
     import numpy as np
     import torch
 
