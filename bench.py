@@ -14,7 +14,8 @@ block_until_ready unreliable (measured: per-call dispatch through the axon
 tunnel costs ~85 ms/frame of pure RPC overhead).
 
 Default mode is the production-fast configuration (bfloat16 conv stack +
-bfloat16 similarity matmuls + stride-4 farthest-point seeding); pass
+bfloat16 similarity matmuls + stride-8 farthest-point seeding,
+the FAST_CLUSTER preset); pass
 --parity for the reference-exact float32 / full-seeding path.  --refine
 adds the stage-2 zoom-in (optionally --crop-size 128 for the fast
 128^2-trained crop net); --batch N measures aggregate multi-frame
@@ -95,7 +96,7 @@ def build_refine_pipeline(fast: bool, max_instances: int = 8,
     ms_kw = dict(kappa=float(cfg.CLUSTER.KAPPA), num_seeds=num_seeds,
                  max_iters=int(cfg.CLUSTER.MAX_ITERS),
                  epsilon=float(cfg.cluster_epsilon), metric="cosine",
-                 use_pallas=on_tpu, seed_subsample=4 if fast else 1,
+                 use_pallas=on_tpu, seed_subsample=8 if fast else 1,
                  compute_dtype="bfloat16" if (fast and on_tpu) else "float32")
 
     @jax.jit
@@ -134,7 +135,7 @@ def build_refine_pipeline(fast: bool, max_instances: int = 8,
     return run_frames, args
 
 
-def build_pipeline(fast: bool, batch: int = 1, subsample: int = 4):
+def build_pipeline(fast: bool, batch: int = 1, subsample: int = 8):
     """Stage-1 pipeline benchmark.
 
     batch > 1 measures aggregate serving throughput: each scan step
@@ -271,7 +272,30 @@ def _probe_backend(timeout_s: int = 240) -> None:
         signal.signal(signal.SIGALRM, old)
 
 
+_USAGE = ("usage: bench.py [--parity] [--refine] [--crop-size N] "
+          "[--crop-net NAME] [--batch N] [--subsample N]")
+_KNOWN_FLAGS = {"--parity", "--refine"}
+_KNOWN_VALUED = {"--crop-size", "--crop-net", "--batch", "--subsample"}
+
+
+def _check_argv() -> None:
+    """Reject unknown flags instead of silently running the default bench
+    (a stray --help used to burn a full TPU measurement)."""
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a in _KNOWN_FLAGS:
+            i += 1
+        elif a in _KNOWN_VALUED:
+            i += 2
+        else:
+            print(_USAGE, file=sys.stderr)
+            sys.exit(0 if a in ("-h", "--help") else 2)
+
+
 def main():
+    _check_argv()
     _probe_backend()
     fast = "--parity" not in sys.argv
     refine = "--refine" in sys.argv
@@ -313,7 +337,7 @@ def main():
         if i + 1 >= len(sys.argv) or not sys.argv[i + 1].isdigit():
             sys.exit("--batch needs an integer value, e.g. --batch 4")
         batch = int(sys.argv[i + 1])
-    subsample = 4
+    subsample = 8
     if "--subsample" in sys.argv:
         i = sys.argv.index("--subsample")
         if i + 1 >= len(sys.argv) or not sys.argv[i + 1].isdigit():

@@ -136,7 +136,7 @@ def main():
     args = parse_args()
     import rospy
 
-    from unseenobjectclustering_tpu.config import Config
+    from unseenobjectclustering_tpu.config import FAST_CLUSTER, Config
     from unseenobjectclustering_tpu.engine.builder import build_segmentor
     from unseenobjectclustering_tpu.engine.stream import StreamSegmentor
 
@@ -144,7 +144,7 @@ def main():
            else Config.inference_default())  # shipped-recipe defaults
     cfg = cfg.replace(MODE="TEST")
     if args.fast:
-        cfg = cfg.replace(CLUSTER={"DTYPE": "bfloat16", "SEED_SUBSAMPLE": 4})
+        cfg = cfg.replace(CLUSTER=dict(FAST_CLUSTER))
 
     import jax.numpy as jnp
     segmentor = build_segmentor(

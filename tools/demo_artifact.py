@@ -39,7 +39,7 @@ def main():
     import cv2
     import jax.numpy as jnp
 
-    from unseenobjectclustering_tpu.config import Config
+    from unseenobjectclustering_tpu.config import FAST_CLUSTER, Config
     from unseenobjectclustering_tpu.data.datasets import compute_xyz_np
     from unseenobjectclustering_tpu.engine.builder import build_segmentor
     from unseenobjectclustering_tpu.ops.preprocess import (
@@ -52,7 +52,7 @@ def main():
         cfg = Config.inference_default()  # shipped-recipe defaults
     cfg = cfg.replace(MODE="TEST")
     if args.fast:
-        cfg = cfg.replace(CLUSTER={"DTYPE": "bfloat16", "SEED_SUBSAMPLE": 4})
+        cfg = cfg.replace(CLUSTER=dict(FAST_CLUSTER))
 
     color_files = sorted(glob.glob(os.path.join(args.imgdir, "*-color.png")))
     if not color_files:

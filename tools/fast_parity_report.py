@@ -32,8 +32,9 @@ def main():
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--out", default="docs/FAST_PARITY.md")
-    p.add_argument("--subsample", type=int, default=4,
-                   help="fast-mode farthest-point seeding stride")
+    p.add_argument("--subsample", type=int, default=8,
+                   help="fast-mode farthest-point seeding stride "
+                        "(8 = the production FAST_CLUSTER preset)")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -99,8 +100,8 @@ def main():
         f"Checkpoint: `{args.pretrained}`; {args.scenes} held-out rendered "
         f"scenes at {args.height}x{args.width}; stage-1 clustering.",
         "",
-        "| metric | parity (fp32, stride-1) | fast (bf16, stride-4) | "
-        "delta |",
+        f"| metric | parity (fp32, stride-1) | fast (bf16, "
+        f"stride-{args.subsample}) | delta |",
         "|---|---|---|---|",
     ]
     for k in keys:

@@ -56,7 +56,7 @@ def main():
 
     import jax.numpy as jnp
 
-    from unseenobjectclustering_tpu.config import Config, get_output_dir
+    from unseenobjectclustering_tpu.config import (FAST_CLUSTER, Config, get_output_dir)
     from unseenobjectclustering_tpu.data import get_dataset
     from unseenobjectclustering_tpu.engine.builder import build_segmentor
     from unseenobjectclustering_tpu.engine.evaluate import (
@@ -66,7 +66,7 @@ def main():
            else Config.inference_default())
     cfg = cfg.replace(MODE="TEST")
     if args.fast:
-        cfg = cfg.replace(CLUSTER={"DTYPE": "bfloat16", "SEED_SUBSAMPLE": 4})
+        cfg = cfg.replace(CLUSTER=dict(FAST_CLUSTER))
     if args.crop_size:
         cfg = cfg.replace(TRAIN={"SYN_CROP_SIZE": args.crop_size})
     print("Using config:")

@@ -67,7 +67,7 @@ def main():
     args = parse_args()
     import jax.numpy as jnp
 
-    from unseenobjectclustering_tpu.config import Config
+    from unseenobjectclustering_tpu.config import FAST_CLUSTER, Config
     from unseenobjectclustering_tpu.data.datasets import compute_xyz_np
     from unseenobjectclustering_tpu.engine.builder import build_segmentor
 
@@ -75,7 +75,7 @@ def main():
            else Config.inference_default())  # shipped-recipe defaults
     cfg = cfg.replace(MODE="TEST")
     if args.fast:
-        cfg = cfg.replace(CLUSTER={"DTYPE": "bfloat16", "SEED_SUBSAMPLE": 4})
+        cfg = cfg.replace(CLUSTER=dict(FAST_CLUSTER))
 
     files = sorted(glob.glob(os.path.join(args.imgdir, "*.npy")))
     if not files:

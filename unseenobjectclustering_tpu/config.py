@@ -255,6 +255,14 @@ _CLUSTER_DEFAULTS: dict[str, Any] = {
     "DTYPE": "float32",
 }
 
+# The production "fast" inference preset (every tool's --fast flag):
+# bfloat16 similarity matmuls + stride-8 farthest-point seeding.  Quality
+# on a trained checkpoint over 50 held-out rendered scenes
+# (docs/FAST_PARITY_S8.md): Objects F +0.007 / Boundary F +0.014 vs the
+# fp32 stride-1 parity path; throughput 95.0 vs 64.7 fps on v5e
+# (docs/STATUS.md).  Apply as cfg.replace(CLUSTER=dict(FAST_CLUSTER)).
+FAST_CLUSTER: dict[str, Any] = {"DTYPE": "bfloat16", "SEED_SUBSAMPLE": 8}
+
 _TOP_DEFAULTS: dict[str, Any] = {
     "FLIP_X": False,
     "INPUT": "RGBD",
