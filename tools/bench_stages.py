@@ -57,7 +57,7 @@ def main():
         W = args.width
     fast = not args.parity
 
-    from unseenobjectclustering_tpu.config import Config
+    from unseenobjectclustering_tpu.config import FAST_CLUSTER, Config
     from unseenobjectclustering_tpu.models import get_network
     from unseenobjectclustering_tpu.ops.mean_shift import (
         MeanShiftResult, mean_shift_smart_init, select_seeds_dispatch)
@@ -74,7 +74,9 @@ def main():
     ms_kw = dict(kappa=float(cfg.CLUSTER.KAPPA), num_seeds=num_seeds,
                  max_iters=int(cfg.CLUSTER.MAX_ITERS),
                  epsilon=float(cfg.cluster_epsilon), metric="cosine",
-                 use_pallas=on_tpu, seed_subsample=4 if fast else 1,
+                 use_pallas=on_tpu,
+                 seed_subsample=(int(FAST_CLUSTER["SEED_SUBSAMPLE"])
+                                 if fast else 1),
                  compute_dtype="bfloat16" if (fast and on_tpu) else "float32")
     pixel_means = jnp.asarray(cfg.pixel_means)
     sub = ms_kw["seed_subsample"]
