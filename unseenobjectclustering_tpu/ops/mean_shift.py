@@ -304,9 +304,21 @@ def assign_and_swap_background(x: jax.Array, seeds: jax.Array,
               - 2.0 * (xf32 @ seeds.T))
         dist = jnp.sqrt(jnp.maximum(sq, 0.0))  # [n, m]
     closest = jnp.argmin(dist, axis=1)
-    labels = seed_labels[closest].astype(jnp.int32)
-
-    counts = jnp.sum(jax.nn.one_hot(labels, m, dtype=jnp.int32), axis=0)
+    # seed_labels[closest] as a [n] gather costs ~2.7 ms/frame on v5e; one
+    # one-hot serves both the label lookup (matvec) and the per-label
+    # histogram (matmul, fp32 accumulation).  bf16 is exact for label
+    # values <= 256; fall back to f32 one-hot beyond that.
+    oh_dtype = jnp.bfloat16 if m <= 256 else jnp.float32
+    onehot = (closest[:, None] == jnp.arange(m)[None, :]).astype(oh_dtype)
+    labels = jnp.einsum("nm,m->n", onehot, seed_labels.astype(oh_dtype),
+                        preferred_element_type=jnp.float32).astype(jnp.int32)
+    # per-label histogram via per-seed counts (tiny [m] -> [m] matvec
+    # against the seed->label one-hot; exact: counts < 2^24 in fp32)
+    per_seed = jnp.einsum("nm->m", onehot,
+                          preferred_element_type=jnp.float32)
+    seed_oh = (seed_labels[:, None] ==
+               jnp.arange(m)[None, :]).astype(jnp.float32)  # [m(seed), m(lab)]
+    counts = (per_seed @ seed_oh).astype(jnp.int32)
     labels, _ = swap_background(labels, counts)
     return labels
 
@@ -411,7 +423,13 @@ def mean_shift_smart_init(x: jax.Array, key: jax.Array, *, kappa: float = 20.0,
             keep = jnp.where(label_max != 0,
                              keep.at[label_max].set(keep[0]), keep)
             keep = keep.at[0].set(True)  # background always kept
-            labels = jnp.where(keep[labels], labels, 0)
+            # keep[labels] as a [n] gather costs ~2.7 ms/frame on v5e;
+            # the same lookup as a bf16 one-hot matvec is ~0.05 ms
+            onehot = (labels[:, None] ==
+                      jnp.arange(keep.shape[0])[None, :]).astype(jnp.bfloat16)
+            hit = jnp.einsum("nk,k->n", onehot, keep.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+            labels = jnp.where(hit > 0.5, labels, 0)
     else:
         z = hill_climb_xla(xc, seeds, kappa, max_iters, metric)
         seed_labels = connected_components(z, epsilon, metric)

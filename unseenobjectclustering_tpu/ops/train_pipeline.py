@@ -134,14 +134,24 @@ def _dense_relabel(label: jax.Array, max_id: int = 255) -> jax.Array:
 
     presence-rank instead of np.unique+searchsorted: rank[i] = #present ids
     < i, computed from a one-hot histogram (a bf16 one-hot einsum — TPU
-    scatter-adds are ~3x slower for small-bin histograms)."""
+    scatter-adds are ~3x slower for small-bin histograms).
+
+    The final rank lookup is ALSO a one-hot matvec, not rank[flat]: the
+    [H*W] gather costs ~2.7 ms/frame on v5e while the einsum costs ~0.04 ms
+    (measured; the CLAUDE.md one-hot-over-gather rule).  Requires
+    label >= 0 everywhere (true for every caller: raw scene labels and
+    stage-1 cluster ids) and max_id <= 255 so ranks are exact in bf16
+    (integers <= 256)."""
+    assert max_id <= 255, "bf16 rank matvec requires max_id <= 255"
     flat = label.reshape(-1)
     onehot = (flat[:, None] == jnp.arange(max_id + 1)[None, :]
               ).astype(jnp.bfloat16)
     counts = jnp.einsum("nk->k", onehot)
     present = counts > 0
     rank = jnp.cumsum(present.astype(jnp.int32)) - 1
-    return rank[flat].reshape(label.shape)
+    out = jnp.einsum("nk,k->n", onehot, rank.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return out.astype(jnp.int32).reshape(label.shape)
 
 
 def _crop_bilinear_cv2(img: jax.Array, box: jax.Array, size: int
