@@ -1,0 +1,38 @@
+#!/bin/bash
+# Capture every bench.py mode into a dated raw JSONL log (VERDICT r3 #1:
+# every quoted perf number must be reproducible from a raw capture line).
+# Usage: tools/capture_bench.sh docs/bench_r4_capture.jsonl [label]
+set -u
+OUT=${1:-docs/bench_r4_capture.jsonl}
+LABEL=${2:-}
+REV=$(git rev-parse --short HEAD 2>/dev/null || echo unknown)
+
+run() {
+  local tag="$1"; shift
+  local ts=$(date -u +%Y-%m-%dT%H:%M:%SZ)
+  local line
+  line=$(python bench.py "$@" 2>/tmp/bench_err.log | tail -1)
+  if [ -z "$line" ]; then
+    line='{"error": "no-output"}'
+  fi
+  # annotate the raw line with mode/rev/time without disturbing its fields
+  python - "$OUT" "$tag" "$ts" "$REV" "$LABEL" "$line" <<'EOF'
+import json, sys
+out, tag, ts, rev, label, line = sys.argv[1:7]
+try:
+    d = json.loads(line)
+except json.JSONDecodeError:
+    d = {"error": "unparseable", "raw": line[:200]}
+d = {"mode": tag, "ts": ts, "rev": rev, **({"label": label} if label else {}), **d}
+with open(out, "a") as fh:
+    fh.write(json.dumps(d) + "\n")
+print(json.dumps(d))
+EOF
+}
+
+run stage1_fast
+run stage1_parity --parity
+run refine224_r34_fast --refine
+run refine224_r34_parity --refine --parity
+run refine128_r18_fast --refine --crop-size 128 --crop-net seg_resnet18_8s_embedding
+run refine128_r18_parity --refine --parity --crop-size 128 --crop-net seg_resnet18_8s_embedding
