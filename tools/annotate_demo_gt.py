@@ -55,10 +55,15 @@ def backproject(depth: np.ndarray, cam: dict) -> np.ndarray:
 
 
 def fit_table_plane(xyz: np.ndarray, iters: int = 500, tol: float = 0.006,
-                    seed: int = 0):
+                    seed: int = 0, roi=None):
     """RANSAC dominant-plane fit on the valid cloud (the table fills most
-    of each demo frame).  Returns (normal, d) with the normal oriented
+    of each demo frame).  `roi` (x0,y0,x1,y1) restricts the fit to a
+    region — needed for frames 5-8 where the carpet, not the small table,
+    is the dominant plane.  Returns (normal, d) with the normal oriented
     toward the camera so `dist > 0` means 'above the table'."""
+    if roi is not None:
+        x0, y0, x1, y1 = roi
+        xyz = xyz[y0:y1, x0:x1]
     pts = xyz.reshape(-1, 3)
     valid = pts[:, 2] > 0.1
     pts = pts[valid]
@@ -91,10 +96,11 @@ def fit_table_plane(xyz: np.ndarray, iters: int = 500, tol: float = 0.006,
     return n, d
 
 
-def propose(idx: int, height_mm: float, min_px: int, out_dir: str):
+def propose(idx: int, height_mm: float, min_px: int, out_dir: str,
+            roi=None):
     color, depth, cam = load_frame(idx)
     xyz = backproject(depth, cam)
-    n, d = fit_table_plane(xyz)
+    n, d = fit_table_plane(xyz, roi=roi)
     dist = xyz @ n + d
     valid = depth > 0.1
     fg = valid & (dist > height_mm / 1000.0)
@@ -182,6 +188,16 @@ def apply_spec(idx: int, spec_path: str, out_dir: str, work_dir: str):
         # polygons only claim background (or re-claim their own id): a
         # sloppy vertex can never steal a neighboring instance's pixels
         labels[(mask > 0) & ((labels == 0) | (labels == tid))] = tid
+    for key, (ecx, ecy, erx, ery, eang) in spec.get("ellipse", {}).items():
+        # full-silhouette ellipse for bowls/cans whose interiors sit at
+        # table height (depth can't see them); background-only claim
+        mask = np.zeros(labels.shape, np.uint8)
+        cv2.ellipse(mask, (int(ecx), int(ecy)), (int(erx), int(ery)),
+                    float(eang), 0, 360, 1, -1)
+        tid = next_id if key == "new" else int(key)
+        if key == "new":
+            next_id += 1
+        labels[(mask > 0) & ((labels == 0) | (labels == tid))] = tid
     for x0, y0, x1, y1 in spec.get("grabcut", []):
         gmask = np.zeros(labels.shape, np.uint8)
         bgd = np.zeros((1, 65), np.float64)
@@ -192,6 +208,20 @@ def apply_spec(idx: int, spec_path: str, out_dir: str, work_dir: str):
         m = (gmask == cv2.GC_FGD) | (gmask == cv2.GC_PR_FGD)
         labels[m] = next_id
         next_id += 1
+    # split remainders: polygons claim pixels OFF a src component, so any
+    # src pixels the polygons missed (interface slivers, stray above-plane
+    # speckle) stay on the src id.  Keep only the largest connected piece
+    # as the remainder object; smaller scraps go to background.
+    for src in {op["src"] for op in spec.get("split", [])}:
+        m = (labels == src).astype(np.uint8)
+        if not m.any():
+            continue
+        num, cc = cv2.connectedComponents(m, connectivity=8)
+        if num > 2:
+            sizes = np.bincount(cc.ravel())
+            sizes[0] = 0
+            keep_cc = sizes.argmax()
+            labels[(cc > 0) & (cc != keep_cc)] = 0
     # fill enclosed holes per instance (bowl/cup interiors sit near the
     # table-plane height, so the depth threshold excludes them; any
     # background region NOT reachable from the image border is interior)
@@ -231,6 +261,17 @@ def apply_spec(idx: int, spec_path: str, out_dir: str, work_dir: str):
         m = cv2.morphologyEx(m, cv2.MORPH_CLOSE,
                              np.ones((5, 5), np.uint8))
         labels[(m > 0) & (labels == 0)] = k
+    # final erase: boxes applied AFTER refinement (for trimming polygon /
+    # GrabCut overshoot the early `erase` op runs too soon to see)
+    for x0, y0, x1, y1 in spec.get("erase_final", []):
+        labels[y0:y1, x0:x1] = 0
+    # clip: restrict an instance to a bbox (kills plane-noise halos that
+    # merge into a component over reflective table patches)
+    for key, (x0, y0, x1, y1) in spec.get("clip", {}).items():
+        k = int(key)
+        keep_box = np.zeros(labels.shape, bool)
+        keep_box[y0:y1, x0:x1] = True
+        labels[(labels == k) & ~keep_box] = 0
     # densify ids in scan order
     out = np.zeros_like(labels)
     nid = 0
@@ -258,9 +299,14 @@ def main():
     p.add_argument("--spec", type=str, default=None)
     p.add_argument("--work-dir", type=str, default="/tmp/demo_gt_work")
     p.add_argument("--out-dir", type=str, default="data/demo_gt")
+    p.add_argument("--plane-roi", type=int, nargs=4, default=None,
+                   metavar=("X0", "Y0", "X1", "Y1"),
+                   help="fit the table plane inside this box (frames "
+                        "where the floor is the dominant plane)")
     args = p.parse_args()
     if args.cmd == "propose":
-        propose(args.frame, args.height_mm, args.min_px, args.work_dir)
+        propose(args.frame, args.height_mm, args.min_px, args.work_dir,
+                roi=args.plane_roi)
     else:
         assert args.spec, "apply needs --spec"
         apply_spec(args.frame, args.spec, args.out_dir, args.work_dir)
