@@ -46,7 +46,9 @@ TARGET_FPS = 60.0
 
 def build_refine_pipeline(fast: bool, max_instances: int = 8,
                           crop_size: int = 224,
-                          crop_network: str = "seg_resnet34_8s_embedding"):
+                          crop_network: str = "seg_resnet34_8s_embedding",
+                          pretrained: str | None = None,
+                          pretrained_crop: str | None = None):
     """Two-stage (zoom-in) demo-path benchmark (test_dataset.py:232-267).
 
     Stage 1 runs the full backbone + clustering + depth filter; stage 2
@@ -57,6 +59,11 @@ def build_refine_pipeline(fast: bool, max_instances: int = 8,
     network on the padded crop batch and re-clusters each valid crop.
     Host paste-back (~1 ms numpy, ops/roi.py paste_back) is excluded: it
     cannot live inside the scan chain.
+
+    With --pretrained/--pretrained-crop (orbax dirs or reference .pth) the
+    stage-1 net predicts a REALISTIC instance count on the rendered scene,
+    so the zoom-in workload matches production; random init over-segments
+    and yields a denser, conservatively slower crop workload.
     """
     import numpy as np
 
@@ -82,6 +89,16 @@ def build_refine_pipeline(fast: bool, max_instances: int = 8,
     zc = jnp.zeros((1, crop_size, crop_size, 3), jnp.float32)
     variables_crop = model_crop.init(jax.random.PRNGKey(4), zc, zc,
                                      train=False)
+    if pretrained:
+        from unseenobjectclustering_tpu.engine.builder import (
+            load_network_variables)
+        variables = load_network_variables(
+            cfg, "seg_resnet34_8s_embedding", pretrained, H, W)
+    if pretrained_crop:
+        from unseenobjectclustering_tpu.engine.builder import (
+            load_network_variables)
+        variables_crop = load_network_variables(
+            cfg, crop_network, pretrained_crop, crop_size, crop_size)
 
     # one deterministic rendered scene: realistic object count / extents
     ds = SyntheticTabletopDataset("test", cfg, height=H, width=W, size=1)
@@ -273,9 +290,11 @@ def _probe_backend(timeout_s: int = 240) -> None:
 
 
 _USAGE = ("usage: bench.py [--parity] [--refine] [--crop-size N] "
-          "[--crop-net NAME] [--batch N] [--subsample N]")
+          "[--crop-net NAME] [--batch N] [--subsample N] "
+          "[--pretrained DIR] [--pretrained-crop DIR]")
 _KNOWN_FLAGS = {"--parity", "--refine"}
-_KNOWN_VALUED = {"--crop-size", "--crop-net", "--batch", "--subsample"}
+_KNOWN_VALUED = {"--crop-size", "--crop-net", "--batch", "--subsample",
+                 "--pretrained", "--pretrained-crop"}
 
 
 def _check_argv() -> None:
@@ -292,6 +311,15 @@ def _check_argv() -> None:
         else:
             print(_USAGE, file=sys.stderr)
             sys.exit(0 if a in ("-h", "--help") else 2)
+
+
+def _valued(flag: str) -> str | None:
+    if flag not in sys.argv:
+        return None
+    i = sys.argv.index(flag)
+    if i + 1 >= len(sys.argv):
+        sys.exit(f"{flag} needs a value")
+    return sys.argv[i + 1]
 
 
 def main():
@@ -316,8 +344,10 @@ def main():
                 sys.exit("--crop-net needs a factory name, e.g. "
                          "--crop-net seg_resnet18_8s_embedding")
             crop_network = sys.argv[i + 1]
-        run_frames, args = build_refine_pipeline(fast, crop_size=crop_size,
-                                                 crop_network=crop_network)
+        run_frames, args = build_refine_pipeline(
+            fast, crop_size=crop_size, crop_network=crop_network,
+            pretrained=_valued("--pretrained"),
+            pretrained_crop=_valued("--pretrained-crop"))
         keys = jax.random.split(jax.random.PRNGKey(7), iters)
         np.asarray(run_frames(*args, keys))  # warm + sync
         t0 = time.perf_counter()

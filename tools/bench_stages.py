@@ -49,6 +49,12 @@ def main():
     ap.add_argument("--crop-size", type=int, default=224)
     ap.add_argument("--crop-net", default="seg_resnet34_8s_embedding")
     ap.add_argument("--max-instances", type=int, default=8)
+    ap.add_argument("--flops", action="store_true",
+                    help="per-stage FLOPs/bytes from XLA cost analysis "
+                         "instead of timings (run under JAX_PLATFORMS=cpu: "
+                         "the math is backend-independent and the CPU "
+                         "lowering keeps every op visible to the analyzer "
+                         "— Pallas custom calls report 0)")
     args = ap.parse_args()
     global H, W
     if args.height:
@@ -128,6 +134,30 @@ def main():
     depth = jnp.asarray(0.5 + rng.rand(H, W).astype(np.float32))
     intr = tuple(jnp.float32(v) for v in (615.0, 615.0, W / 2.0, H / 2.0))
     keys = jax.random.split(jax.random.PRNGKey(7), args.iters)
+
+    def _cost(fn1):
+        """(GFLOP, GB accessed) of one frame via XLA cost analysis.
+
+        Pre-optimization HLO analysis (`lowered.cost_analysis()`, no
+        backend compile): this is the MATH flop count — fusion doesn't
+        change it, and a full-graph CPU compile takes >10 min on this
+        1-core host."""
+        ca = jax.jit(fn1).lower(keys[0]).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return (ca.get("flops", 0.0) / 1e9,
+                ca.get("bytes accessed", 0.0) / 1e9)
+
+    if args.flops and not args.stage2:
+        prev = (0.0, 0.0)
+        print(f"{'stage':10s} {'GFLOP':>9s} {'dGFLOP':>9s} {'GB':>7s}")
+        for name, fn in [("pre", stage_pre), ("+fwd", stage_fwd),
+                         ("+seed", stage_seed), ("+climb", stage_climb),
+                         ("+filter", stage_filter)]:
+            g, b = _cost(lambda key, fn=fn: fn(bgr, depth, intr, key)[0])
+            print(f"{name:10s} {g:9.2f} {g - prev[0]:9.2f} {b:7.2f}")
+            prev = (g, b)
+        return
 
     results = []
     for name, fn in [("pre", stage_pre), ("+fwd", stage_fwd),
@@ -242,10 +272,21 @@ def main():
         return (labels1.sum() + labels_veto.sum()
                 + order_key.sum().astype(jnp.int32)).astype(jnp.float32)
 
+    s2_variants = [("stage1*", v_stage1), ("+relabel", v_relabel),
+                   ("+crop", v_crop), ("+cropfwd", v_cropfwd),
+                   ("+cropclust", v_cropclust), ("+veto", v_veto)]
+
+    if args.flops:
+        prev = (0.0, 0.0)
+        print(f"{'stage':10s} {'GFLOP':>9s} {'dGFLOP':>9s} {'GB':>7s}")
+        for name, fn in s2_variants:
+            g, b = _cost(lambda key, fn=fn: fn(sc_img, key))
+            print(f"{name:10s} {g:9.2f} {g - prev[0]:9.2f} {b:7.2f}")
+            prev = (g, b)
+        return
+
     s2_results = []
-    for name, fn in [("stage1*", v_stage1), ("+relabel", v_relabel),
-                     ("+crop", v_crop), ("+cropfwd", v_cropfwd),
-                     ("+cropclust", v_cropclust), ("+veto", v_veto)]:
+    for name, fn in s2_variants:
 
         @jax.jit
         def run(variables_, keys_, fn=fn):
