@@ -62,6 +62,12 @@ def main():
     if args.width:
         W = args.width
     fast = not args.parity
+    if args.flops:
+        # force the CPU platform BEFORE the first jax op: under the axon
+        # sitecustomize the JAX_PLATFORMS env alone does not stick
+        # (CLAUDE.md), the TPU backend wins, use_pallas flips on, and the
+        # hill climb disappears into an uncountable pallas_call
+        jax.config.update("jax_platforms", "cpu")
 
     from unseenobjectclustering_tpu.config import FAST_CLUSTER, Config
     from unseenobjectclustering_tpu.models import get_network
@@ -136,27 +142,67 @@ def main():
     keys = jax.random.split(jax.random.PRNGKey(7), args.iters)
 
     def _cost(fn1):
-        """(GFLOP, GB accessed) of one frame via XLA cost analysis.
+        """MXU GFLOP of one frame by walking the traced jaxpr.
 
-        Pre-optimization HLO analysis (`lowered.cost_analysis()`, no
-        backend compile): this is the MATH flop count — fusion doesn't
-        change it, and a full-graph CPU compile takes >10 min on this
-        1-core host."""
-        ca = jax.jit(fn1).lower(keys[0]).cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return (ca.get("flops", 0.0) / 1e9,
-                ca.get("bytes accessed", 0.0) / 1e9)
+        Counts dot_general + conv_general_dilated only — the systolic-array
+        work an MFU number is measured against (VPU elementwise excluded).
+        Static-bound fori_loops/lax.map lower to `scan` (counted x length);
+        the one data-dependent `while` (the parity path's lazy-bound
+        blocked seeding, ops/mean_shift.py:194) is counted for ONE trip —
+        an undercount bounded by its trip count, flagged in the output."""
+        import numpy as _np
+
+        whiles = [0]
+
+        def walk(jaxpr):
+            fl = 0.0
+            for eqn in jaxpr.eqns:
+                prim = eqn.primitive.name
+                if prim == "dot_general":
+                    (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+                    a = eqn.invars[0].aval
+                    b = eqn.invars[1].aval
+                    batch = _np.prod([a.shape[i] for i in lb]) if lb else 1.0
+                    k = _np.prod([a.shape[i] for i in lc]) if lc else 1.0
+                    m = _np.prod([a.shape[i] for i in range(a.ndim)
+                                  if i not in lc and i not in lb] or [1])
+                    n = _np.prod([b.shape[i] for i in range(b.ndim)
+                                  if i not in rc and i not in rb] or [1])
+                    fl += 2.0 * batch * m * n * k
+                elif prim == "conv_general_dilated":
+                    out = eqn.outvars[0].aval
+                    rhs = eqn.invars[1].aval
+                    dn = eqn.params["dimension_numbers"]
+                    spatial = [rhs.shape[i] for i in dn.rhs_spec[2:]]
+                    cin_g = rhs.shape[dn.rhs_spec[1]]
+                    fl += 2.0 * _np.prod(out.shape) * _np.prod(spatial) * cin_g
+                elif prim == "scan":
+                    fl += eqn.params["length"] * walk(eqn.params["jaxpr"].jaxpr)
+                elif prim == "while":
+                    whiles[0] += 1
+                    fl += walk(eqn.params["body_jaxpr"].jaxpr)
+                elif prim == "cond":
+                    fl += max(walk(br.jaxpr)
+                              for br in eqn.params["branches"])
+                else:
+                    inner = (eqn.params.get("jaxpr")
+                             or eqn.params.get("call_jaxpr"))
+                    if inner is not None:
+                        fl += walk(getattr(inner, "jaxpr", inner))
+            return fl
+
+        closed = jax.make_jaxpr(fn1)(keys[0])
+        return walk(closed.jaxpr) / 1e9, whiles[0]
 
     if args.flops and not args.stage2:
-        prev = (0.0, 0.0)
-        print(f"{'stage':10s} {'GFLOP':>9s} {'dGFLOP':>9s} {'GB':>7s}")
+        prev = 0.0
+        print(f"{'stage':10s} {'GFLOP':>9s} {'dGFLOP':>9s}  while-loops")
         for name, fn in [("pre", stage_pre), ("+fwd", stage_fwd),
                          ("+seed", stage_seed), ("+climb", stage_climb),
                          ("+filter", stage_filter)]:
-            g, b = _cost(lambda key, fn=fn: fn(bgr, depth, intr, key)[0])
-            print(f"{name:10s} {g:9.2f} {g - prev[0]:9.2f} {b:7.2f}")
-            prev = (g, b)
+            g, nw = _cost(lambda key, fn=fn: fn(bgr, depth, intr, key)[0])
+            print(f"{name:10s} {g:9.2f} {g - prev:9.2f}  {nw}")
+            prev = g
         return
 
     results = []
@@ -277,12 +323,12 @@ def main():
                    ("+cropclust", v_cropclust), ("+veto", v_veto)]
 
     if args.flops:
-        prev = (0.0, 0.0)
-        print(f"{'stage':10s} {'GFLOP':>9s} {'dGFLOP':>9s} {'GB':>7s}")
+        prev = 0.0
+        print(f"{'stage':10s} {'GFLOP':>9s} {'dGFLOP':>9s}  while-loops")
         for name, fn in s2_variants:
-            g, b = _cost(lambda key, fn=fn: fn(sc_img, key))
-            print(f"{name:10s} {g:9.2f} {g - prev[0]:9.2f} {b:7.2f}")
-            prev = (g, b)
+            g, nw = _cost(lambda key, fn=fn: fn(sc_img, key))
+            print(f"{name:10s} {g:9.2f} {g - prev:9.2f}  {nw}")
+            prev = g
         return
 
     s2_results = []

@@ -344,11 +344,15 @@ def select_seeds_dispatch(xc: jax.Array, num_seeds: int, key: jax.Array, *,
     """
     x_seed = xc[::seed_subsample] if seed_subsample > 1 else xc
     # honest VMEM accounting: the kernel pads the feature dim to the
-    # 128-lane tile and keeps an [8, n] f32 scratch resident alongside X
+    # 128-lane tile and keeps an [8, n] f32 scratch resident alongside X.
+    # Budget 40 MiB of the v5e's 128 MiB VMEM: admits the fp32 224^2 crop
+    # (27.3 MiB, the reference-exact zoom-in shape — previously fell to
+    # the 100-step eager route and dominated two-stage parity latency)
+    # while still excluding full frames (bf16 480x640 = 75 MiB).
     n_seed, d_seed = x_seed.shape
     d_pad = ((d_seed + 127) // 128) * 128
     vmem_bytes = n_seed * d_pad * x_seed.dtype.itemsize + 8 * n_seed * 4
-    if metric == "cosine" and use_pallas and vmem_bytes <= 20 * 2 ** 20:
+    if metric == "cosine" and use_pallas and vmem_bytes <= 40 * 2 ** 20:
         # whole farthest-point loop fused in one kernel, X resident in VMEM
         from unseenobjectclustering_tpu.ops.pallas_seeding import (
             select_seeds_pallas)
