@@ -206,9 +206,12 @@ def main():
         return
 
     results = []
-    for name, fn in [("pre", stage_pre), ("+fwd", stage_fwd),
-                     ("+seed", stage_seed), ("+climb", stage_climb),
-                     ("+filter", stage_filter)]:
+    stage1_variants = [] if args.flops else [
+        ("pre", stage_pre), ("+fwd", stage_fwd), ("+seed", stage_seed),
+        ("+climb", stage_climb), ("+filter", stage_filter)]
+    # flops mode skips ALL timing (CPU executes ~4 s/frame) and falls
+    # through to the stage-2 flop table below
+    for name, fn in stage1_variants:
 
         @jax.jit
         def run(variables_, keys_, fn=fn):
@@ -228,9 +231,10 @@ def main():
         results.append((name, ms))
         print(f"{name:8s} {ms:7.2f} ms/frame  (+{delta:5.2f})", flush=True)
 
-    total = results[-1][1]
-    print(f"full stage-1: {total:.2f} ms/frame = {1e3 / total:.1f} fps "
-          f"({'fast' if fast else 'parity'})")
+    if results:
+        total = results[-1][1]
+        print(f"full stage-1: {total:.2f} ms/frame = {1e3 / total:.1f} fps "
+              f"({'fast' if fast else 'parity'})")
 
     if not args.stage2:
         return
