@@ -34,6 +34,9 @@ def main():
     p.add_argument("--out", default="docs/demo_overlays.png")
     p.add_argument("--scale", type=float, default=0.5)
     p.add_argument("--fast", action="store_true")
+    p.add_argument("--crop_network", type=str, default=None,
+                   help="zoom-in factory (e.g. seg_resnet18_8s_embedding)")
+    p.add_argument("--crop_size", type=int, default=None)
     args = p.parse_args()
 
     import cv2
@@ -53,6 +56,8 @@ def main():
     cfg = cfg.replace(MODE="TEST")
     if args.fast:
         cfg = cfg.replace(CLUSTER=dict(FAST_CLUSTER))
+    if args.crop_size:
+        cfg = cfg.replace(TRAIN={"SYN_CROP_SIZE": args.crop_size})
 
     color_files = sorted(glob.glob(os.path.join(args.imgdir, "*-color.png")))
     if not color_files:
@@ -80,7 +85,8 @@ def main():
                 cfg, args.network_name, pretrained=args.pretrained,
                 pretrained_crop=args.pretrained_crop, height=h, width=w,
                 depth_threshold=0.8,
-                model_dtype=jnp.bfloat16 if args.fast else None)
+                model_dtype=jnp.bfloat16 if args.fast else None,
+                crop_network_name=args.crop_network)
         image = (im.astype(np.float32) / 255.0 - pixel_means)[None]
         xyz = compute_xyz_np(depth, fx, fy, px, py)[None]
         res = segmentor.segment(image, xyz,
