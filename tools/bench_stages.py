@@ -93,28 +93,32 @@ def main():
     pixel_means = jnp.asarray(cfg.pixel_means)
     sub = ms_kw["seed_subsample"]
 
-    def stage_pre(bgr_i, depth, intr, key):
+    # NOTE: the network variables are threaded through as ARGUMENTS, not
+    # closure constants — closed-over params get baked into the HLO as
+    # literals and the axon remote-compile service rejects the oversized
+    # request body (HTTP 413) once both stage nets are embedded.
+    def stage_pre(vars_, bgr_i, depth, intr, key):
         fx, fy, px, py = intr
         img, xyz = preprocess_rgbd(bgr_i, depth, pixel_means, fx, fy, px, py,
                                    height=H, width=W)
         return img.sum() + xyz.sum(), None
 
-    def stage_fwd(bgr_i, depth, intr, key):
+    def stage_fwd(vars_, bgr_i, depth, intr, key):
         fx, fy, px, py = intr
         img, xyz = preprocess_rgbd(bgr_i, depth, pixel_means, fx, fy, px, py,
                                    height=H, width=W)
-        feats = model.apply(variables, img[None], xyz[None], train=False)
+        feats = model.apply(vars_, img[None], xyz[None], train=False)
         return feats.sum().astype(jnp.float32), None
 
-    def _feats(bgr_i, depth, intr):
+    def _feats(vars_, bgr_i, depth, intr):
         fx, fy, px, py = intr
         img, xyz = preprocess_rgbd(bgr_i, depth, pixel_means, fx, fy, px, py,
                                    height=H, width=W)
-        feats = model.apply(variables, img[None], xyz[None], train=False)
+        feats = model.apply(vars_, img[None], xyz[None], train=False)
         return feats.reshape(H * W, feats.shape[-1]), xyz
 
-    def stage_seed(bgr_i, depth, intr, key):
-        x, _ = _feats(bgr_i, depth, intr)
+    def stage_seed(vars_, bgr_i, depth, intr, key):
+        x, _ = _feats(vars_, bgr_i, depth, intr)
         xc = (x.astype(jnp.bfloat16) if ms_kw["compute_dtype"] == "bfloat16"
               else x)
         # single authority for kernel routing — times the production path
@@ -123,13 +127,13 @@ def main():
             seed_subsample=sub)
         return seeds.sum().astype(jnp.float32), None
 
-    def stage_climb(bgr_i, depth, intr, key):
-        x, _ = _feats(bgr_i, depth, intr)
+    def stage_climb(vars_, bgr_i, depth, intr, key):
+        x, _ = _feats(vars_, bgr_i, depth, intr)
         res = mean_shift_smart_init(x, key, **ms_kw)
         return res.labels.sum().astype(jnp.float32), None
 
-    def stage_filter(bgr_i, depth, intr, key):
-        x, xyz = _feats(bgr_i, depth, intr)
+    def stage_filter(vars_, bgr_i, depth, intr, key):
+        x, xyz = _feats(vars_, bgr_i, depth, intr)
         res = mean_shift_smart_init(x, key,
                                     z_valid=(xyz[..., 2] > 0).reshape(H * W),
                                     filter_threshold=0.8, **ms_kw)
@@ -200,7 +204,7 @@ def main():
         for name, fn in [("pre", stage_pre), ("+fwd", stage_fwd),
                          ("+seed", stage_seed), ("+climb", stage_climb),
                          ("+filter", stage_filter)]:
-            g, nw = _cost(lambda key, fn=fn: fn(bgr, depth, intr, key)[0])
+            g, nw = _cost(lambda key, fn=fn: fn(variables, bgr, depth, intr, key)[0])
             print(f"{name:10s} {g:9.2f} {g - prev:9.2f}  {nw}")
             prev = g
         return
@@ -218,7 +222,7 @@ def main():
             def body(carry, key):
                 # chain: frame input depends on the previous frame's output
                 bgr_i = bgr + (carry.astype(jnp.int32) % 2).astype(jnp.uint8)
-                out, _ = fn(bgr_i, depth, intr, key)
+                out, _ = fn(variables_, bgr_i, depth, intr, key)
                 return out.astype(jnp.float32), ()
             c, _ = jax.lax.scan(body, jnp.float32(0), keys_)
             return c
@@ -265,8 +269,8 @@ def main():
                          jnp.float32(ds.cx), jnp.float32(ds.cy),
                          height=H, width=W)
 
-    def s1(img_i, key):
-        feats = model.apply(variables, img_i[None], sc_xyz[None],
+    def s1(vars_, img_i, key):
+        feats = model.apply(vars_, img_i[None], sc_xyz[None],
                             train=False)
         res = mean_shift_smart_init(
             feats.reshape(H * W, feats.shape[-1]), key,
@@ -274,48 +278,49 @@ def main():
             filter_threshold=0.8, **ms_kw)
         return img_i, res.labels.reshape(H, W)
 
-    def v_stage1(img_i, key):
-        _, labels1 = s1(img_i, key)
+    def v_stage1(vars_, varsc_, img_i, key):
+        _, labels1 = s1(vars_, img_i, key)
         return labels1.sum().astype(jnp.float32)
 
-    def v_relabel(img_i, key):
-        _, labels1 = s1(img_i, key)
+    def v_relabel(vars_, varsc_, img_i, key):
+        _, labels1 = s1(vars_, img_i, key)
         dense = _dense_relabel(labels1, max_id=num_seeds)
         return dense.sum().astype(jnp.float32)
 
-    def _to_crops(img_i, key):
-        img_i, labels1 = s1(img_i, key)
+    def _to_crops(vars_, img_i, key):
+        img_i, labels1 = s1(vars_, img_i, key)
         dense = _dense_relabel(labels1, max_id=num_seeds)
         return labels1, crop_rois(img_i, dense, sc_xyz,
                                   max_instances=max_instances,
                                   crop_size=crop_size)
 
-    def v_crop(img_i, key):
-        labels1, crops = _to_crops(img_i, key)
+    def v_crop(vars_, varsc_, img_i, key):
+        labels1, crops = _to_crops(vars_, img_i, key)
         return (labels1.sum() + crops.rgb_crops.sum().astype(jnp.int32)
                 ).astype(jnp.float32)
 
-    def v_cropfwd(img_i, key):
-        labels1, crops = _to_crops(img_i, key)
-        feats_c = model_crop.apply(variables_crop, crops.rgb_crops,
+    def v_cropfwd(vars_, varsc_, img_i, key):
+        labels1, crops = _to_crops(vars_, img_i, key)
+        feats_c = model_crop.apply(varsc_, crops.rgb_crops,
                                    crops.depth_crops, train=False)
         return (labels1.sum().astype(jnp.float32) + feats_c.sum()
                 .astype(jnp.float32))
 
-    def _to_labels_crop(img_i, key):
-        labels1, crops = _to_crops(img_i, key)
-        feats_c = model_crop.apply(variables_crop, crops.rgb_crops,
+    def _to_labels_crop(vars_, varsc_, img_i, key):
+        labels1, crops = _to_crops(vars_, img_i, key)
+        feats_c = model_crop.apply(varsc_, crops.rgb_crops,
                                    crops.depth_crops, train=False)
         keys_c = jax.random.split(key, max_instances)
         return labels1, crops, _cluster_crops(feats_c, crops.valid, keys_c,
                                               **ms_kw)
 
-    def v_cropclust(img_i, key):
-        labels1, _, labels_crop = _to_labels_crop(img_i, key)
+    def v_cropclust(vars_, varsc_, img_i, key):
+        labels1, _, labels_crop = _to_labels_crop(vars_, varsc_, img_i, key)
         return (labels1.sum() + labels_crop.sum()).astype(jnp.float32)
 
-    def v_veto(img_i, key):
-        labels1, crops, labels_crop = _to_labels_crop(img_i, key)
+    def v_veto(vars_, varsc_, img_i, key):
+        labels1, crops, labels_crop = _to_labels_crop(vars_, varsc_, img_i,
+                                                      key)
         labels_veto, order_key = veto_and_order(
             labels_crop, crops.mask_crops, crops.depth_crops[..., 2],
             crops.valid, max_labels=num_seeds + 1)
@@ -330,7 +335,7 @@ def main():
         prev = 0.0
         print(f"{'stage':10s} {'GFLOP':>9s} {'dGFLOP':>9s}  while-loops")
         for name, fn in s2_variants:
-            g, nw = _cost(lambda key, fn=fn: fn(sc_img, key))
+            g, nw = _cost(lambda key, fn=fn: fn(variables, variables_crop, sc_img, key))
             print(f"{name:10s} {g:9.2f} {g - prev:9.2f}  {nw}")
             prev = g
         return
@@ -339,16 +344,16 @@ def main():
     for name, fn in s2_variants:
 
         @jax.jit
-        def run(variables_, keys_, fn=fn):
+        def run(variables_, variables_crop_, keys_, fn=fn):
             def body(carry, key):
                 img_i = sc_img + carry * 1e-12  # serialize frames
-                return fn(img_i, key), ()
+                return fn(variables_, variables_crop_, img_i, key), ()
             c, _ = jax.lax.scan(body, jnp.float32(0), keys_)
             return c
 
-        np.asarray(run(variables, keys))  # compile + warm
+        np.asarray(run(variables, variables_crop, keys))  # compile + warm
         t0 = time.perf_counter()
-        np.asarray(run(variables, keys))
+        np.asarray(run(variables, variables_crop, keys))
         ms = (time.perf_counter() - t0) / args.iters * 1e3
         delta = ms - s2_results[-1][1] if s2_results else 0.0
         s2_results.append((name, ms))
