@@ -46,6 +46,7 @@ TARGET_FPS = 60.0
 
 def build_refine_pipeline(fast: bool, max_instances: int = 8,
                           crop_size: int = 224,
+                          network: str = "seg_resnet34_8s_embedding",
                           crop_network: str = "seg_resnet34_8s_embedding",
                           pretrained: str | None = None,
                           pretrained_crop: str | None = None):
@@ -81,7 +82,7 @@ def build_refine_pipeline(fast: bool, max_instances: int = 8,
     cfg = Config.default()
     on_tpu = jax.default_backend() == "tpu"
     model_dtype = jnp.bfloat16 if (fast and on_tpu) else jnp.float32
-    model = get_network("seg_resnet34_8s_embedding", cfg, dtype=model_dtype)
+    model = get_network(network, cfg, dtype=model_dtype)
     model_crop = get_network(crop_network, cfg, dtype=model_dtype)
     key = jax.random.PRNGKey(3)
     zeros = jnp.zeros((1, H, W, 3), jnp.float32)
@@ -92,8 +93,7 @@ def build_refine_pipeline(fast: bool, max_instances: int = 8,
     if pretrained:
         from unseenobjectclustering_tpu.engine.builder import (
             load_network_variables)
-        variables = load_network_variables(
-            cfg, "seg_resnet34_8s_embedding", pretrained, H, W)
+        variables = load_network_variables(cfg, network, pretrained, H, W)
     if pretrained_crop:
         from unseenobjectclustering_tpu.engine.builder import (
             load_network_variables)
@@ -152,7 +152,8 @@ def build_refine_pipeline(fast: bool, max_instances: int = 8,
     return run_frames, args
 
 
-def build_pipeline(fast: bool, batch: int = 1, subsample: int = 8):
+def build_pipeline(fast: bool, batch: int = 1, subsample: int = 8,
+                   network: str = "seg_resnet34_8s_embedding"):
     """Stage-1 pipeline benchmark.
 
     batch > 1 measures aggregate serving throughput: each scan step
@@ -169,7 +170,7 @@ def build_pipeline(fast: bool, batch: int = 1, subsample: int = 8):
     cfg = Config.default()
     on_tpu = jax.default_backend() == "tpu"
     model_dtype = jnp.bfloat16 if (fast and on_tpu) else jnp.float32
-    model = get_network("seg_resnet34_8s_embedding", cfg, dtype=model_dtype)
+    model = get_network(network, cfg, dtype=model_dtype)
     key = jax.random.PRNGKey(3)
     zeros = jnp.zeros((1, H, W, 3), jnp.float32)
     variables = model.init(key, zeros, zeros, train=False)
@@ -289,12 +290,12 @@ def _probe_backend(timeout_s: int = 240) -> None:
         signal.signal(signal.SIGALRM, old)
 
 
-_USAGE = ("usage: bench.py [--parity] [--refine] [--crop-size N] "
-          "[--crop-net NAME] [--batch N] [--subsample N] "
+_USAGE = ("usage: bench.py [--parity] [--refine] [--network NAME] "
+          "[--crop-size N] [--crop-net NAME] [--batch N] [--subsample N] "
           "[--pretrained DIR] [--pretrained-crop DIR]")
 _KNOWN_FLAGS = {"--parity", "--refine"}
-_KNOWN_VALUED = {"--crop-size", "--crop-net", "--batch", "--subsample",
-                 "--pretrained", "--pretrained-crop"}
+_KNOWN_VALUED = {"--network", "--crop-size", "--crop-net", "--batch",
+                 "--subsample", "--pretrained", "--pretrained-crop"}
 
 
 def _check_argv() -> None:
@@ -345,7 +346,9 @@ def main():
                          "--crop-net seg_resnet18_8s_embedding")
             crop_network = sys.argv[i + 1]
         run_frames, args = build_refine_pipeline(
-            fast, crop_size=crop_size, crop_network=crop_network,
+            fast, crop_size=crop_size,
+            network=_valued("--network") or "seg_resnet34_8s_embedding",
+            crop_network=crop_network,
             pretrained=_valued("--pretrained"),
             pretrained_crop=_valued("--pretrained-crop"))
         keys = jax.random.split(jax.random.PRNGKey(7), iters)
@@ -375,8 +378,9 @@ def main():
                      "--subsample 8")
         subsample = int(sys.argv[i + 1])
 
-    run_frames, variables = build_pipeline(fast, batch=batch,
-                                           subsample=subsample)
+    run_frames, variables = build_pipeline(
+        fast, batch=batch, subsample=subsample,
+        network=_valued("--network") or "seg_resnet34_8s_embedding")
 
     rng = np.random.RandomState(3)
     intr = tuple(jnp.float32(v) for v in (615.0, 615.0, W / 2.0, H / 2.0))

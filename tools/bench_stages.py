@@ -49,6 +49,14 @@ def main():
     ap.add_argument("--crop-size", type=int, default=224)
     ap.add_argument("--crop-net", default="seg_resnet34_8s_embedding")
     ap.add_argument("--max-instances", type=int, default=8)
+    ap.add_argument("--pretrained", default=None,
+                    help="orbax dir / torch .pth for the stage-1 net — a "
+                         "trained net predicts a realistic instance count "
+                         "on the rendered scene, so _cluster_crops' "
+                         "cond-skip workload matches production (random "
+                         "init leaves most crop slots invalid)")
+    ap.add_argument("--pretrained-crop", default=None,
+                    help="weights for the zoom-in net")
     ap.add_argument("--flops", action="store_true",
                     help="per-stage FLOPs/bytes from XLA cost analysis "
                          "instead of timings (run under JAX_PLATFORMS=cpu: "
@@ -81,6 +89,11 @@ def main():
     model = get_network("seg_resnet34_8s_embedding", cfg, dtype=model_dtype)
     zeros = jnp.zeros((1, H, W, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(3), zeros, zeros, train=False)
+    if args.pretrained:
+        from unseenobjectclustering_tpu.engine.builder import (
+            load_network_variables)
+        variables = load_network_variables(
+            cfg, "seg_resnet34_8s_embedding", args.pretrained, H, W)
 
     num_seeds = int(cfg.CLUSTER.NUM_SEEDS)
     ms_kw = dict(kappa=float(cfg.CLUSTER.KAPPA), num_seeds=num_seeds,
@@ -258,6 +271,11 @@ def main():
     zc = jnp.zeros((1, crop_size, crop_size, 3), jnp.float32)
     variables_crop = model_crop.init(jax.random.PRNGKey(4), zc, zc,
                                      train=False)
+    if args.pretrained_crop:
+        from unseenobjectclustering_tpu.engine.builder import (
+            load_network_variables)
+        variables_crop = load_network_variables(
+            cfg, args.crop_net, args.pretrained_crop, crop_size, crop_size)
 
     # one deterministic rendered scene: realistic instance count/extents
     # (random pixels under-populate stage 2; same choice as bench.py)

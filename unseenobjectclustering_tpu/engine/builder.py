@@ -8,6 +8,7 @@ equivalent to the model-preparation blocks of the reference's entry points
 from __future__ import annotations
 
 import os
+import sys
 from typing import Any, Optional
 
 import jax
@@ -50,13 +51,14 @@ def load_network_variables(cfg: Config, network_name: str,
         # its latest snapshot
         mgr_dir, step = resolve_step_dir(pretrained)
         restored, step = restore_checkpoint(mgr_dir, step=step)
-        print(f"=> restored orbax checkpoint step {step} from {pretrained}")
+        print(f"=> restored orbax checkpoint step {step} from {pretrained}",
+              file=sys.stderr)
         return {"params": restored["params"],
                 "batch_stats": restored["batch_stats"]}
     from unseenobjectclustering_tpu.utils.checkpoint import (
         load_torch_checkpoint)
     variables = load_torch_checkpoint(pretrained, expected=variables)
-    print(f"=> converted torch checkpoint {pretrained}")
+    print(f"=> converted torch checkpoint {pretrained}", file=sys.stderr)
     return variables
 
 

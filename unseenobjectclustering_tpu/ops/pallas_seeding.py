@@ -12,11 +12,15 @@ with select_smart_seeds: cosine distance 0.5 * (1 - X . seed), argmax of the
 min-distance vector picks each next seed.
 
 VMEM budget (select_seeds_dispatch checks the honest padded footprint,
-X with d lane-padded to 128 plus the [8, n] f32 scratch, against 20 MB):
-the 224^2 zoom-in crops in bf16 — the kernel's main production user —
-occupy ~14.5 MB; the stride-4 640x480 case in bf16 (~22 MB) and every
-full-resolution case exceed the budget and route to the exact lazy-bound
-blocked selection in ops/mean_shift.py instead.
+X with d lane-padded to 128 plus the [8, n] f32 scratch, against 40 MiB
+of the v5e's 128 MiB VMEM): the 224^2 zoom-in crops — bf16 ~14.5 MiB
+and the reference-exact fp32 ~27.3 MiB — ride this kernel; full-frame
+shapes (bf16 480x640 = 75 MiB) exceed the budget and route to the exact
+lazy-bound blocked selection in ops/mean_shift.py instead.  Mosaic's
+default per-kernel scoped-vmem limit is 16 MiB, so the pallas_call
+raises it explicitly (compiler_params vmem_limit_bytes) to match the
+dispatch gate — without it the fp32 224^2 shape is admitted but fails
+to compile ("Ran out of memory in memory space vmem ... limit 16.00M").
 """
 
 from __future__ import annotations
@@ -113,6 +117,8 @@ def select_seeds_pallas(x: jax.Array, num_seeds: int, first_index: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, m_pad), jnp.int32),
         scratch_shapes=[pltpu.VMEM((8, n_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20),
         interpret=interpret,
     )(xp, first)
 
