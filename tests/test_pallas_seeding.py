@@ -10,8 +10,11 @@ from unseenobjectclustering_tpu.ops.mean_shift import select_smart_seeds
 from unseenobjectclustering_tpu.ops.pallas_seeding import select_seeds_pallas
 
 
-@pytest.mark.parametrize("n,d,m", [(500, 16, 10), (2000, 64, 32)])
+@pytest.mark.parametrize("n,d,m", [(500, 16, 10), (501, 16, 10),
+                                   (2000, 64, 32)])
 def test_pallas_seeding_matches_xla(n, d, m):
+    # 501 leaves the last sublane tile partially padded — exercises the
+    # aligned dynamic tile read (dist_to) against rows near the pad edge
     rng = np.random.RandomState(0)
     x = rng.randn(n, d).astype(np.float32)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
@@ -25,6 +28,22 @@ def test_pallas_seeding_matches_xla(n, d, m):
     np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(want_idx))
     np.testing.assert_allclose(np.asarray(got_seeds),
                                np.asarray(want_seeds), atol=1e-6)
+
+
+def test_pallas_seeding_bf16_matches_xla():
+    """bf16 inputs (16-sublane tiles: the stage-1 fast path's dtype) —
+    distances accumulate in f32 from identical bf16 operands in both
+    stacks, so seed indices must agree exactly."""
+    rng = np.random.RandomState(2)
+    x = rng.randn(500, 32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    first = jnp.int32(11)
+
+    _, want_idx = select_smart_seeds(xb, 12, jax.random.PRNGKey(0),
+                                     "cosine", first_index=first)
+    _, got_idx = select_seeds_pallas(xb, 12, first)
+    np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(want_idx))
 
 
 def test_pallas_seeding_covers_clusters():

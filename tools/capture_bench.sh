@@ -44,3 +44,12 @@ run refine224_r34_fast --refine $PRE $C224
 run refine224_r34_parity --refine --parity $PRE $C224
 run refine128_r18_fast --refine --crop-size 128 --crop-net seg_resnet18_8s_embedding $PRE $C128
 run refine128_r18_parity --refine --parity --crop-size 128 --crop-net seg_resnet18_8s_embedding $PRE $C128
+
+# resnet18 STAGE-1 frontier study (r4): export PRETRAINED_R18 to bench the
+# lighter backbone end-to-end (stage-1 alone + the all-r18 two-stage route)
+if [ -n "${PRETRAINED_R18:-}" ]; then
+  R18="--network seg_resnet18_8s_embedding --pretrained $PRETRAINED_R18"
+  run stage1_r18_fast $R18
+  run stage1_r18_parity --parity $R18
+  run refine_allr18_fast --refine --crop-size 128 --crop-net seg_resnet18_8s_embedding $R18 $C128
+fi

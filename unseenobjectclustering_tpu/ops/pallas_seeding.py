@@ -45,14 +45,24 @@ def _seeding_kernel(x_ref, first_ref, idx_ref, min_dist, *, num_seeds: int,
     col = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
     pad_mask = (col >= n)  # padded pixels must never win the argmax
 
+    # sublane tile height: f32 tiles are (8, 128), bf16 (16, 128) — a
+    # dynamic read is lowerable iff its start is provably tile-aligned
+    sub = 8 if x_ref.dtype == jnp.float32 else 16
+
     def dist_to(i):
         # cosine distance of every pixel to pixel i: 0.5 * (1 - X @ x_i).
-        # Row i is extracted with a one-hot matvec on the MXU: value
-        # dynamic_slice has no Pallas lowering and dynamic sublane reads
-        # can't be proven tile-aligned for bf16 (16-sublane tiles).
-        sel_hot = (col == i).astype(x.dtype)                    # [1, n_pad]
+        # Row i is read as its ALIGNED sublane tile (start = i rounded
+        # down to the tile height, asserted via pl.multiple_of — an
+        # arbitrary-row dynamic_slice has no Mosaic lowering) and the
+        # row picked out with a tiny [1, sub] one-hot matvec.  This
+        # replaces the old full [1, n] @ [n, d] one-hot extraction,
+        # halving the per-step MXU work of the sequential loop.
+        base = pl.multiple_of((i // sub) * sub, sub)
+        tile = x_ref[pl.ds(base, sub), :]                       # [sub, d]
+        row_hot = (jax.lax.broadcasted_iota(jnp.int32, (1, sub), 1)
+                   == (i - base)).astype(x.dtype)               # [1, sub]
         xi = jax.lax.dot_general(
-            sel_hot, x, dimension_numbers=(((1,), (0,)), ((), ())),
+            row_hot, tile, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                 # [1, d]
         sim = jax.lax.dot_general(
             xi.astype(x.dtype), x,
