@@ -48,6 +48,9 @@ def main():
                     help="attribute the zoom-in stages on top of stage 1")
     ap.add_argument("--crop-size", type=int, default=224)
     ap.add_argument("--crop-net", default="seg_resnet34_8s_embedding")
+    ap.add_argument("--network", default="seg_resnet34_8s_embedding",
+                    help="stage-1 network factory name (e.g. the "
+                         "seg_resnet18_8s_embedding frontier variant)")
     ap.add_argument("--max-instances", type=int, default=8)
     ap.add_argument("--pretrained", default=None,
                     help="orbax dir / torch .pth for the stage-1 net — a "
@@ -86,14 +89,14 @@ def main():
     cfg = Config.default()
     on_tpu = jax.default_backend() == "tpu"
     model_dtype = jnp.bfloat16 if (fast and on_tpu) else jnp.float32
-    model = get_network("seg_resnet34_8s_embedding", cfg, dtype=model_dtype)
+    model = get_network(args.network, cfg, dtype=model_dtype)
     zeros = jnp.zeros((1, H, W, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(3), zeros, zeros, train=False)
     if args.pretrained:
         from unseenobjectclustering_tpu.engine.builder import (
             load_network_variables)
         variables = load_network_variables(
-            cfg, "seg_resnet34_8s_embedding", args.pretrained, H, W)
+            cfg, args.network, args.pretrained, H, W)
 
     num_seeds = int(cfg.CLUSTER.NUM_SEEDS)
     ms_kw = dict(kappa=float(cfg.CLUSTER.KAPPA), num_seeds=num_seeds,
