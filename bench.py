@@ -32,7 +32,9 @@ no throughput numbers, SURVEY.md §6).
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import jax
@@ -42,6 +44,70 @@ import numpy as np
 H, W = 480, 640
 ITERS = 30
 TARGET_FPS = 60.0
+
+_T0 = time.monotonic()
+_PHASE = "startup"
+
+
+def _bc(phase: str) -> None:
+    """Phase breadcrumb on stderr so a driver log can tell 'compiling'
+    from 'hung tunnel' at a glance (round-4 BENCH_r04.json was rc=124
+    with NOTHING on stdout — undiagnosable)."""
+    global _PHASE
+    _PHASE = phase
+    print(f"[bench +{time.monotonic() - _T0:6.1f}s] {phase}",
+          file=sys.stderr, flush=True)
+
+
+def _setup_compile_cache() -> None:
+    """Persistent XLA compilation cache in a repo-local dir.
+
+    The 480x640 stage-1 program takes 2-4 min to compile cold (CLAUDE.md);
+    a fresh driver process used to repay that in full and could blow the
+    driver's timeout (BENCH_r04.json rc=124).  The cache is pre-warmed at
+    snapshot time, so the driver's run skips straight to execution."""
+    cache_dir = os.environ.get(
+        "BENCH_XLA_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".xla_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as exc:  # cache is an optimization, never fatal
+        print(f"[bench] compile cache unavailable: {exc}", file=sys.stderr)
+
+
+def _arm_watchdog() -> None:
+    """Whole-run deadline (env BENCH_DEADLINE_S, default 540 — safely under
+    a plausible 600 s driver timeout).  A daemon thread, not SIGALRM: the
+    hang modes observed through the axon tunnel block inside C++ RPC calls
+    where a Python signal handler cannot run until the call returns (a dead
+    tunnel hung jax.devices() for 5+ h).  On expiry it emits ONE structured
+    JSON line naming the phase that was live, then hard-exits."""
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "540"))
+    if deadline <= 0:
+        return
+
+    def _expire():
+        print(json.dumps({
+            "metric": _metric_name(),
+            "value": None,
+            "unit": "frames/sec/chip",
+            "vs_baseline": None,
+            "error": "bench-deadline-exceeded",
+            "phase": _PHASE,
+            "deadline_s": deadline,
+        }), flush=True)
+        print(f"[bench +{time.monotonic() - _T0:6.1f}s] DEADLINE "
+              f"({deadline:.0f}s) exceeded in phase '{_PHASE}'",
+              file=sys.stderr, flush=True)
+        os._exit(4)
+
+    t = threading.Timer(deadline, _expire)
+    t.daemon = True
+    t.start()
 
 
 def build_refine_pipeline(fast: bool, max_instances: int = 8,
@@ -308,6 +374,10 @@ def _check_argv() -> None:
         if a in _KNOWN_FLAGS:
             i += 1
         elif a in _KNOWN_VALUED:
+            if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+                # catches `--pretrained --parity` BEFORE the backend probe
+                print(_USAGE, file=sys.stderr)
+                sys.exit(f"{a} needs a value")
             i += 2
         else:
             print(_USAGE, file=sys.stderr)
@@ -318,13 +388,19 @@ def _valued(flag: str) -> str | None:
     if flag not in sys.argv:
         return None
     i = sys.argv.index(flag)
-    if i + 1 >= len(sys.argv):
+    if i + 1 >= len(sys.argv) or sys.argv[i + 1].startswith("--"):
+        # another flag is not a value: `--pretrained --parity` must fail
+        # loudly, not consume --parity as a checkpoint path
+        print(_USAGE, file=sys.stderr)
         sys.exit(f"{flag} needs a value")
     return sys.argv[i + 1]
 
 
 def main():
     _check_argv()
+    _arm_watchdog()
+    _setup_compile_cache()
+    _bc("probe-backend")
     _probe_backend()
     fast = "--parity" not in sys.argv
     refine = "--refine" in sys.argv
@@ -345,6 +421,7 @@ def main():
                 sys.exit("--crop-net needs a factory name, e.g. "
                          "--crop-net seg_resnet18_8s_embedding")
             crop_network = sys.argv[i + 1]
+        _bc("build-refine-pipeline")
         run_frames, args = build_refine_pipeline(
             fast, crop_size=crop_size,
             network=_valued("--network") or "seg_resnet34_8s_embedding",
@@ -352,10 +429,13 @@ def main():
             pretrained=_valued("--pretrained"),
             pretrained_crop=_valued("--pretrained-crop"))
         keys = jax.random.split(jax.random.PRNGKey(7), iters)
+        _bc("compile+warm")
         np.asarray(run_frames(*args, keys))  # warm + sync
+        _bc("measure")
         t0 = time.perf_counter()
         np.asarray(run_frames(*args, keys))
         fps = iters / (time.perf_counter() - t0)
+        _bc("done")
         print(json.dumps({
             "metric": "rgbd_two_stage_fps_640x480",
             "value": round(fps, 2),
@@ -378,6 +458,7 @@ def main():
                      "--subsample 8")
         subsample = int(sys.argv[i + 1])
 
+    _bc("build-pipeline")
     run_frames, variables = build_pipeline(
         fast, batch=batch, subsample=subsample,
         network=_valued("--network") or "seg_resnet34_8s_embedding")
@@ -401,11 +482,14 @@ def main():
         nframes = ITERS
         metric = "rgbd_segmentation_fps_640x480"
 
+    _bc("compile+warm")
     np.asarray(run_frames(variables, bgr, depth, intr, keys))  # warm + sync
+    _bc("measure")
     t0 = time.perf_counter()
     np.asarray(run_frames(variables, bgr, depth, intr, keys))
     dt = time.perf_counter() - t0
     fps = nframes / dt
+    _bc("done")
 
     print(json.dumps({
         "metric": metric,

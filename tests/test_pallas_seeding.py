@@ -93,3 +93,51 @@ def test_seeding_under_map_and_cond(rng):
         _, want = select_smart_seeds(xj[i], 8, jax.random.key(0), "cosine",
                                      jnp.int32(3))
         np.testing.assert_array_equal(got[i], np.asarray(want))
+
+
+def test_vmem_gate_boundary_shapes():
+    """The dispatch gate models the kernel's REAL scoped footprint (~3x
+    padded X for fp32 + the [8, n] f32 scratch): round 4's 1x-X/40 MiB
+    gate admitted fp32 n=76800 (`bench.py --parity --subsample 4`) into a
+    measured on-chip compile OOM (117.19 MiB used vs 101.5 MiB effective
+    limit) — ADVICE r4 medium.  Shapes below are the measured v5e
+    boundary cases."""
+    from unseenobjectclustering_tpu.ops.mean_shift import (
+        seeding_kernel_fits_vmem)
+
+    # fp32 480x640 subsample-4: compile-OOMs on chip -> must be rejected
+    assert not seeding_kernel_fits_vmem(76800, 64, 4)
+    # fp32 224^2 crops (reference-exact zoom-in): compiles -> admitted
+    assert seeding_kernel_fits_vmem(50176, 64, 4)
+    # bf16 480x640 subsample-4: compiles -> admitted
+    assert seeding_kernel_fits_vmem(76800, 64, 2)
+    # bf16 stride-8 full frame (FAST_CLUSTER default): admitted
+    assert seeding_kernel_fits_vmem(38400, 64, 2)
+    # stride-1 full frame: far too big either dtype -> lazy-blocked route
+    assert not seeding_kernel_fits_vmem(307200, 64, 2)
+    assert not seeding_kernel_fits_vmem(307200, 64, 4)
+
+
+def test_dispatch_rejects_oom_shape(rng):
+    """fp32 n=76800 must route to the lazy-blocked selection (same
+    argmax semantics), not the fused kernel."""
+    from unseenobjectclustering_tpu.ops import mean_shift as ms
+
+    called = {}
+    orig = ms.select_smart_seeds_lazy
+
+    def spy(*a, **k):
+        called["lazy"] = True
+        return orig(*a, **k)
+
+    x = jnp.asarray(rng.randn(76800, 64).astype(np.float32))
+    x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+    old = ms.select_smart_seeds_lazy
+    ms.select_smart_seeds_lazy = spy
+    try:
+        seeds, idxs = ms.select_seeds_dispatch(
+            x, 8, jax.random.PRNGKey(0), use_pallas=True)
+    finally:
+        ms.select_smart_seeds_lazy = old
+    assert called.get("lazy"), "fp32 n=76800 must take the lazy route"
+    assert seeds.shape == (8, 64) and idxs.shape == (8,)

@@ -85,3 +85,36 @@ def test_veto_wide_label_space_uses_int16():
                             jnp.asarray(mask), None, jnp.asarray([True]),
                             max_labels=101)
     assert np.asarray(lv8).dtype == np.int8
+
+
+def test_paste_back_refine_fallback():
+    """cfg.CLUSTER.REFINE_FALLBACK: an all-vetoed crop keeps its stage-1
+    instance mask (at its depth-order position) instead of vanishing —
+    the reference veto (test_dataset.py:116-127) deletes such instances,
+    which under sim-to-real shift erased whole real objects (demo frame
+    000005 refined to F=0.000, docs/REAL_DEMO_EVAL.md)."""
+    from unseenobjectclustering_tpu.ops.roi import paste_back
+
+    h = w = 16
+    dense = np.zeros((h, w), np.int32)
+    dense[2:6, 2:6] = 1      # slot 0: will be all-vetoed
+    dense[8:14, 8:14] = 2    # slot 1: zoom-in cluster survives
+    s = 4
+    labels_veto = np.full((2, s, s), -1, np.int8)
+    labels_veto[1, 1:3, 1:3] = 0            # surviving cluster in slot 1
+    rois = np.array([[2, 2, 5, 5], [8, 8, 13, 13]], np.int32)
+    order_key = np.array([2.0, 1.0], np.float32)   # slot 0 farther
+    valid = np.array([True, True])
+
+    # reference semantics (default): the all-vetoed instance is GONE
+    ref = paste_back(dense, labels_veto, order_key, rois, valid)
+    assert not (ref[2:6, 2:6] > 0).any()
+
+    # fallback: stage-1 mask pasted unchanged, surviving crop unaffected
+    fb = paste_back(dense, labels_veto, order_key, rois, valid,
+                    fallback_labels=dense)
+    assert (fb[2:6, 2:6] > 0).all()
+    assert np.array_equal(fb[2:6, 2:6] > 0, dense[2:6, 2:6] > 0)
+    assert (fb[8:14, 8:14] > 0).any()       # slot 1 paste still happened
+    # distinct instance ids
+    assert len(np.unique(fb)) == 3

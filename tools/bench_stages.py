@@ -169,7 +169,11 @@ def main():
         Static-bound fori_loops/lax.map lower to `scan` (counted x length);
         the one data-dependent `while` (the parity path's lazy-bound
         blocked seeding, ops/mean_shift.py:194) is counted for ONE trip —
-        an undercount bounded by its trip count, flagged in the output."""
+        an undercount bounded by its trip count, flagged in the output.
+        `cond` is counted as max(branches), so the cond-skipped per-crop
+        clustering is attributed as if EVERY crop slot executed — the
+        +cropclust dGFLOP is an upper bound on production MXU work (the
+        opposite bias of the while undercount)."""
         import numpy as _np
 
         whiles = [0]

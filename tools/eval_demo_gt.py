@@ -41,6 +41,10 @@ def parse_args():
     p.add_argument("--crop_size", type=int, default=None)
     p.add_argument("--cfg", dest="cfg_file", type=str, default=None)
     p.add_argument("--fast", action="store_true")
+    p.add_argument("--refine_fallback", action="store_true",
+                   help="keep stage-1 instances whose zoom-in clusters "
+                        "were ALL vetoed (cfg.CLUSTER.REFINE_FALLBACK) "
+                        "instead of deleting them (reference default)")
     p.add_argument("--depth_factor", type=float, default=1000.0)
     p.add_argument("--report", type=str, default=None,
                    help="write a markdown table + .json sidecar here")
@@ -64,6 +68,8 @@ def main():
     cfg = cfg.replace(MODE="TEST")
     if args.fast:
         cfg = cfg.replace(CLUSTER=dict(FAST_CLUSTER))
+    if args.refine_fallback:
+        cfg = cfg.replace(CLUSTER={"REFINE_FALLBACK": True})
     if args.crop_size:
         cfg = cfg.replace(TRAIN={"SYN_CROP_SIZE": args.crop_size})
 

@@ -253,6 +253,14 @@ _CLUSTER_DEFAULTS: dict[str, Any] = {
     "USE_PALLAS": True,
     # compute dtype for the similarity matmuls: 'float32' or 'bfloat16'
     "DTYPE": "float32",
+    # keep the stage-1 instance when ALL its zoom-in clusters fail the 50%
+    # overlap veto instead of deleting it (match_label_crop,
+    # lib/fcn/test_dataset.py:116-127 deletes — reference semantics stays
+    # the default).  Under domain shift the two synthetic-trained networks
+    # disagree on weak masks and the veto erases whole instances (real
+    # demo frame 000005 refines to F=0.000 without this);
+    # the fallback makes refinement >= stage-1 (docs/REAL_DEMO_EVAL.md).
+    "REFINE_FALLBACK": False,
 }
 
 # The production "fast" inference preset (every tool's --fast flag):

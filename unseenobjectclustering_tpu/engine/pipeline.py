@@ -151,6 +151,10 @@ class Segmentor:
         self._ms_kw = ms
         self.max_instances = int(cfg.CLUSTER.MAX_INSTANCES)
         self.crop_size = int(cfg.TRAIN.SYN_CROP_SIZE)
+        # keep all-vetoed stage-1 instances instead of deleting them
+        # (cfg.CLUSTER.REFINE_FALLBACK; ops/roi.paste_back)
+        self.refine_fallback = bool(
+            getattr(cfg.CLUSTER, "REFINE_FALLBACK", False))
 
         self._stage1 = jax.jit(functools.partial(
             self._stage1_impl,
@@ -391,10 +395,20 @@ class Segmentor:
                     self.variables_crop, img_i, labels[i], xyz_i,
                     self.next_key(), has_depth=xyz is not None,
                     max_instances=bucket)
+                fallback = None
+                if self.refine_fallback:
+                    # crop slot s holds dense id s+1; _dense_relabel maps
+                    # each present id to its presence rank (rank(uniq[j])
+                    # = j, background-0 present or not), which the host
+                    # recovers from the sparse stage-1 labels it already
+                    # fetched as a searchsorted against their uniques
+                    uniq = np.unique(labels_np[i])
+                    fallback = np.searchsorted(uniq, labels_np[i]).astype(
+                        labels_np.dtype)
                 ref = paste_back(labels_np[i],
                                  np.asarray(labels_veto),
                                  np.asarray(order_key), np.asarray(rois),
-                                 np.asarray(valid))
+                                 np.asarray(valid), fallback_labels=fallback)
                 refined.append(ref)
             labels_refined = np.stack(refined).astype(np.int32)
             timing["stage2"] = time.perf_counter() - t1

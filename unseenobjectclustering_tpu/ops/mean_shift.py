@@ -323,6 +323,27 @@ def assign_and_swap_background(x: jax.Array, seeds: jax.Array,
     return labels
 
 
+def seeding_kernel_fits_vmem(n: int, d: int, itemsize: int) -> bool:
+    """True if the fused seeding kernel's REAL scoped-VMEM footprint fits.
+
+    The kernel's live set is ~3 X-sized buffers for fp32 (the x_ref block,
+    the materialized `x = x_ref[:]` copy, and an X-sized f32 temporary
+    Mosaic keeps across the dist_to matvecs) plus the [8, n] f32 min-dist
+    scratch.  Measured on v5e (2026-08-19 probe): fp32 n=76800 d_pad=128
+    reports 117.19 MiB used — 2.98x the 39.3 MiB padded X — against a
+    101.5 MiB effective ceiling (what Mosaic grants when the pallas_call
+    requests vmem_limit_bytes=64 MiB), while fp32 n=50176 (224^2 crops,
+    3x = 77 MiB) and bf16 n=76800 (2 X-sized bf16 + 1 f32 = 75 MiB) both
+    compile.  Round 4 gated on 1x X <= 40 MiB, which admitted the
+    fp32 n=76800 shape (`bench.py --parity --subsample 4`) straight into
+    a compile-time OOM (ADVICE r4, medium).
+    """
+    d_pad = ((d + 127) // 128) * 128
+    x_bytes = n * d_pad * itemsize
+    footprint = 2 * x_bytes + n * d_pad * 4 + 8 * n * 4
+    return footprint <= 96 * 2 ** 20
+
+
 def select_seeds_dispatch(xc: jax.Array, num_seeds: int, key: jax.Array, *,
                           metric: str = "cosine", use_pallas: bool = True,
                           first_index: Optional[jax.Array] = None,
@@ -332,9 +353,10 @@ def select_seeds_dispatch(xc: jax.Array, num_seeds: int, key: jax.Array, *,
 
     One authority for the kernel choice (also used by tools/bench_stages.py,
     so the benchmark times exactly the production route):
-      * X fits the 20 MB VMEM budget -> fully fused Pallas kernel
-      * too big but n > 65536        -> exact lazy-bound blocked selection
-      * otherwise                    -> plain select_smart_seeds
+      * kernel footprint fits VMEM (seeding_kernel_fits_vmem: ~3x padded X
+        for fp32, ~96 MiB ceiling) -> fully fused Pallas kernel
+      * too big but n > 65536      -> exact lazy-bound blocked selection
+      * otherwise                  -> plain select_smart_seeds
     All three implement the reference's selection rule (mean_shift.py:
     128-189) with f32 distances and lowest-index argmax tie-break; they
     can still disagree on fp-rounding near-ties (~1e-6 cosine-distance
@@ -343,16 +365,10 @@ def select_seeds_dispatch(xc: jax.Array, num_seeds: int, key: jax.Array, *,
     metrics, not per-seed indices (SURVEY.md §7 hard-part #4).
     """
     x_seed = xc[::seed_subsample] if seed_subsample > 1 else xc
-    # honest VMEM accounting: the kernel pads the feature dim to the
-    # 128-lane tile and keeps an [8, n] f32 scratch resident alongside X.
-    # Budget 40 MiB of the v5e's 128 MiB VMEM: admits the fp32 224^2 crop
-    # (27.3 MiB, the reference-exact zoom-in shape — previously fell to
-    # the 100-step eager route and dominated two-stage parity latency)
-    # while still excluding full frames (bf16 480x640 = 75 MiB).
     n_seed, d_seed = x_seed.shape
-    d_pad = ((d_seed + 127) // 128) * 128
-    vmem_bytes = n_seed * d_pad * x_seed.dtype.itemsize + 8 * n_seed * 4
-    if metric == "cosine" and use_pallas and vmem_bytes <= 40 * 2 ** 20:
+    if (metric == "cosine" and use_pallas
+            and seeding_kernel_fits_vmem(n_seed, d_seed,
+                                         x_seed.dtype.itemsize)):
         # whole farthest-point loop fused in one kernel, X resident in VMEM
         from unseenobjectclustering_tpu.ops.pallas_seeding import (
             select_seeds_pallas)

@@ -11,16 +11,20 @@ Semantics parity with the reference (lib/utils/mean_shift.py:128-189) and
 with select_smart_seeds: cosine distance 0.5 * (1 - X . seed), argmax of the
 min-distance vector picks each next seed.
 
-VMEM budget (select_seeds_dispatch checks the honest padded footprint,
-X with d lane-padded to 128 plus the [8, n] f32 scratch, against 40 MiB
-of the v5e's 128 MiB VMEM): the 224^2 zoom-in crops — bf16 ~14.5 MiB
-and the reference-exact fp32 ~27.3 MiB — ride this kernel; full-frame
-shapes (bf16 480x640 = 75 MiB) exceed the budget and route to the exact
+VMEM budget: the kernel's live set is ~3 X-sized buffers for fp32 (x_ref
+block + the materialized x copy + an X-sized f32 temporary across the
+dist_to matvecs) plus the [8, n] f32 scratch —
+ops/mean_shift.seeding_kernel_fits_vmem gates on that REAL footprint
+against a 96 MiB ceiling (measured on v5e: fp32 n=76800 reports
+117.19 MiB used vs a 101.5 MiB effective limit and fails; fp32 224^2
+crops at 3x = 77 MiB and bf16 n=76800 at 75 MiB both compile).
+Admitted shapes: the 224^2 zoom-in crops (bf16 and the reference-exact
+fp32) and subsampled full frames; stride-1 480x640 routes to the exact
 lazy-bound blocked selection in ops/mean_shift.py instead.  Mosaic's
 default per-kernel scoped-vmem limit is 16 MiB, so the pallas_call
-raises it explicitly (compiler_params vmem_limit_bytes) to match the
-dispatch gate — without it the fp32 224^2 shape is admitted but fails
-to compile ("Ran out of memory in memory space vmem ... limit 16.00M").
+raises it explicitly (compiler_params vmem_limit_bytes=64 MiB, granted
+as ~101.5 MiB effective) — without it the fp32 224^2 shape is admitted
+but fails to compile ("Ran out of memory ... limit 16.00M").
 """
 
 from __future__ import annotations

@@ -314,11 +314,21 @@ def veto_and_order(labels_crop: jax.Array, mask_crops: jax.Array,
 
 def paste_back(initial_labels: np.ndarray, labels_veto: np.ndarray,
                order_key: np.ndarray, rois: np.ndarray,
-               valid: np.ndarray) -> np.ndarray:
+               valid: np.ndarray,
+               fallback_labels: Optional[np.ndarray] = None) -> np.ndarray:
     """Host-side final paste (test_dataset.py:150-179): order crops by key
     descending (farther first), relabel surviving clusters sequentially,
     nearest-resize each crop back into its RoI; later (closer) crops
-    overwrite."""
+    overwrite.
+
+    fallback_labels (cfg.CLUSTER.REFINE_FALLBACK): [H, W] DENSE stage-1
+    labels where crop slot i holds instance id i+1.  When given and every
+    zoom-in cluster of a crop was vetoed, the stage-1 instance mask is
+    pasted unchanged (at its depth-order position) instead of the instance
+    being deleted — the reference's veto (test_dataset.py:116-127) erases
+    such instances outright, which under sim-to-real domain shift deletes
+    real objects (demo frame 000005 refined to F=0.000).  None = exact
+    reference semantics."""
     order = np.argsort(-order_key, kind="stable")
     refined = np.zeros_like(initial_labels)
     count = 0
@@ -326,6 +336,12 @@ def paste_back(initial_labels: np.ndarray, labels_veto: np.ndarray,
         if not valid[i]:
             continue
         ids = [m for m in np.unique(labels_veto[i]) if m != -1]
+        if not ids and fallback_labels is not None:
+            inst = fallback_labels == (i + 1)
+            if inst.any():
+                count += 1
+                refined[inst] = count
+            continue
         relabeled = np.zeros(labels_veto[i].shape, initial_labels.dtype)
         for mask_id in ids:
             count += 1
