@@ -141,3 +141,59 @@ def test_raw_mode_dataset_contract():
     ds.set_epoch(1)
     s2 = ds[0]
     np.testing.assert_array_equal(s["bgr"], s2["bgr"])
+
+
+def test_depth_artifacts_device_matches_host_contract():
+    """Device twin of add_realsense_artifacts: drops only, plausible hole
+    fraction, jittable on CPU."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unseenobjectclustering_tpu.ops.train_pipeline import (
+        add_depth_artifacts_device)
+
+    depth = np.full((120, 160), 1.0, np.float32)
+    depth[40:80, 50:100] = 0.6
+    out = np.asarray(jax.jit(add_depth_artifacts_device)(
+        jnp.asarray(depth), jax.random.PRNGKey(0)))
+    changed = out != depth
+    assert (out[changed] == 0).all()
+    assert (out > 0).mean() > 0.4
+    # across seeds, SOME seed produces edge shadows adjacent to the box
+    hit_edge = False
+    for s in range(6):
+        o = np.asarray(add_depth_artifacts_device(
+            jnp.asarray(depth), jax.random.PRNGKey(s)))
+        band = o[40:80, 36:50] == 0      # left of the box edge
+        band_r = o[40:80, 100:114] == 0  # right of it
+        hit_edge = hit_edge or band.any() or band_r.any()
+    assert hit_edge
+
+
+def test_device_augment_honors_depth_artifacts_flag():
+    """cfg.TRAIN.DEPTH_ARTIFACTS=False must keep the round-4 augmentation
+    unchanged; True must produce extra structured holes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unseenobjectclustering_tpu.config import Config
+    from unseenobjectclustering_tpu.ops.train_pipeline import (
+        make_device_augment)
+
+    rng = np.random.RandomState(5)
+    bgr = jnp.asarray(rng.randint(0, 255, (1, 64, 96, 3)), jnp.uint8)
+    dep = jnp.asarray(np.full((1, 64, 96), 900, np.uint16))
+    lab = jnp.asarray(rng.randint(0, 3, (1, 64, 96)), jnp.uint8)
+    kw = dict(fx=80.0, fy=80.0, px=48.0, py=32.0)
+
+    cfg_off = Config.from_dict({"INPUT": "RGBD", "MODE": "TRAIN"})
+    cfg_on = Config.from_dict({"INPUT": "RGBD", "MODE": "TRAIN",
+                               "TRAIN": {"DEPTH_ARTIFACTS": True}})
+    key = jax.random.PRNGKey(7)
+    _, xyz_off, _ = make_device_augment(cfg_off, **kw)(bgr, dep, lab, key)
+    _, xyz_on, _ = make_device_augment(cfg_on, **kw)(bgr, dep, lab, key)
+    holes_off = float((np.asarray(xyz_off)[..., 2] == 0).mean())
+    holes_on = float((np.asarray(xyz_on)[..., 2] == 0).mean())
+    assert holes_on > holes_off

@@ -112,6 +112,12 @@ _TRAIN_DEFAULTS: dict[str, Any] = {
     "SCALES_BASE": (0.25, 0.5, 1.0, 2.0, 3.0),
     "CHROMATIC": True,
     "ADD_NOISE": False,
+    # RealSense-style structured depth dropout during training (ours, not
+    # in the reference — it trains on clean TOD depth but deploys on raw
+    # RealSense frames): stereo-occlusion edge shadows + glossy blobs +
+    # border bands (data/augmentation.add_realsense_artifacts and the
+    # device twin ops/train_pipeline.add_depth_artifacts_device)
+    "DEPTH_ARTIFACTS": False,
     "IMS_PER_BATCH": 2,
     "NUM_STEPS": 5,
     "NUM_UNITS": 64,

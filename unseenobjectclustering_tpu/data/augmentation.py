@@ -155,6 +155,65 @@ def dropout_random_ellipses(depth_img: np.ndarray, noise_params: Mapping,
     return np.where(canvas.astype(bool), 0, depth_img)
 
 
+def add_realsense_artifacts(depth_img: np.ndarray,
+                            rng: Optional[np.random.RandomState] = None
+                            ) -> np.ndarray:
+    """RealSense-style structured depth dropout (cfg.TRAIN.DEPTH_ARTIFACTS).
+
+    The reference trains on clean TOD depth plus ellipse dropout
+    (lib/utils/augmentation.py:92-126) but evaluates and deploys on raw
+    RealSense frames (tools/test_images.py:96-102 feeds them unfiltered).
+    Measured on the 9 shipped demo captures: 4.6-7.9% of pixels are 0, and
+    30-68% of the holes lie within 3 px of a depth edge.  Three modes,
+    modeled on those captures:
+
+      1. one-sided stereo-occlusion shadows: a band of missing depth on a
+         single horizontal side of every depth discontinuity (the stereo
+         camera's IR projector baseline is horizontal),
+      2. large low-frequency blobs (glossy/dark surfaces: the demo table
+         tops drop out in irregular patches),
+      3. a ragged missing band at the left or right image border.
+
+    The device-resident twin is ops/train_pipeline.add_depth_artifacts_device
+    (same modes and distributions; keep them in sync)."""
+    r = _rng(rng)
+    h, w = depth_img.shape[:2]
+    depth = depth_img.copy()
+    drop = np.zeros((h, w), bool)
+
+    # 1. stereo occlusion shadows at horizontal depth discontinuities
+    if r.rand() < 0.8:
+        dx = np.abs(np.diff(depth, axis=1, prepend=depth[:, :1]))
+        edge = (dx > 0.04) & (depth > 0)
+        width = r.randint(2, 13)
+        sign = 1 if r.rand() < 0.5 else -1
+        shadow = np.zeros((h, w), bool)
+        for k in range(1, width + 1):
+            shadow |= np.roll(edge, sign * k, axis=1)
+        # roll wraps; clip the wrapped columns
+        if sign > 0:
+            shadow[:, :width] = False
+        else:
+            shadow[:, -width:] = False
+        drop |= shadow
+    # 2. low-frequency glossy blobs
+    if r.rand() < 0.7:
+        field = cv2.resize(r.rand(h // 40 + 2, w // 40 + 2), (w, h),
+                           interpolation=cv2.INTER_LINEAR)
+        drop |= field > r.uniform(0.80, 0.95)
+    # 3. ragged border band
+    if r.rand() < 0.5:
+        base = r.randint(8, 48)
+        jag = cv2.resize(r.rand(h // 16 + 2, 1), (1, h),
+                         interpolation=cv2.INTER_LINEAR)[:, 0]
+        widths = (base * (0.5 + jag)).astype(int)
+        cols = np.arange(w)[None, :]
+        band = (cols < widths[:, None] if r.rand() < 0.5
+                else cols >= w - widths[:, None])
+        drop |= band
+    return np.where(drop, 0.0, depth)
+
+
 # ---------------------------------------------------------------------------
 # mask perturbation (region-refinement training mode)
 # ---------------------------------------------------------------------------

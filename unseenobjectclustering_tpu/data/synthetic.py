@@ -41,7 +41,17 @@ def _normalize(v):
 # teaches the embedding that texture boundaries are not object boundaries),
 # flat decal distractors on the table (background-labeled texture
 # discontinuities), and specular highlights.
-RENDER_VERSION = 3
+# v4 (modeled on the reference's 9 real RealSense captures, data/demo —
+# the docs/REAL_DEMO_EVAL.md sim-to-real gap): concave open bowls, wide-low
+# lidded containers, lying cylinders/cans, thin plates and pens (shape
+# classes the demo frames contain and v3 never produced), horizontal
+# label-band texture splits (real products split at lid/label height, not
+# along random planes), table legs (background geometry the low-table demo
+# frames show prominently), and low-contrast texture pairs.  RealSense
+# depth artifacts (stereo-occlusion edge shadows, glossy blobs, border
+# bands) are TRAIN-TIME augmentation (data/augmentation.py,
+# ops/train_pipeline.py), not baked into the cache.
+RENDER_VERSION = 4
 
 
 # -- primitive ray intersections (camera at the origin, rays d [H,W,3]) ------
@@ -129,6 +139,50 @@ def _isect_cylinder(d, c, axes, r, hz):
     return tt, nrm
 
 
+def _isect_bowl(d, c, axis, r_out, r_in):
+    """Open hemispherical bowl (concave!): `c` is the RIM-plane center,
+    opening along +axis.  Outer shell = lower hemisphere of radius r_out
+    (near sphere hit), inner shell = lower hemisphere of radius r_in seen
+    from inside (FAR sphere hit — rays enter through the opening), plus
+    the flat rim annulus between the radii at the rim plane.  The demo
+    frames carry two or three bowls each (e.g. 000000); v3 had no concave
+    geometry at all."""
+    tt = np.full(d.shape[:2], np.inf, np.float32)
+    nrm = np.zeros(d.shape, np.float32)
+    a = (d * d).sum(-1)
+    bq = -2.0 * (d @ c)
+    for r, pick_far in ((float(r_out), False), (float(r_in), True)):
+        cq = np.float32(c @ c - r * r)
+        disc = bq * bq - 4.0 * a * cq
+        with np.errstate(invalid="ignore"):
+            sq = np.sqrt(np.maximum(disc, 0))
+            t = np.where(disc > 0,
+                         (-bq + (sq if pick_far else -sq)) / (2 * a),
+                         np.inf)
+            t = np.where(t > 0.05, t, np.inf).astype(np.float32)
+            pt = d * t[..., None]
+            below = ((pt - c) @ axis) < 0.0     # lower hemisphere only
+            t = np.where(below, t, np.inf)
+            ptc = pt - c
+            n_s = (-ptc if pick_far else ptc) / max(r, 1e-9)
+        closer = t < tt
+        tt = np.where(closer, t, tt)
+        nrm = np.where(closer[..., None], np.nan_to_num(n_s), nrm)
+    dn = d @ axis
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_rim = (c @ axis) / np.where(np.abs(dn) < 1e-9, 1e-9, dn)
+        pt = d * t_rim[..., None]
+        rel = pt - c
+        rad = np.linalg.norm(rel - (rel @ axis)[..., None] * axis, axis=-1)
+        ok = (t_rim > 0.05) & (rad >= r_in) & (rad <= r_out)
+    t_rim = np.where(ok, t_rim, np.inf).astype(np.float32)
+    closer = t_rim < tt
+    tt = np.where(closer, t_rim, tt)
+    nrm = np.where(closer[..., None], axis[None, None].astype(np.float32),
+                   nrm)
+    return tt, nrm
+
+
 def _isect_prims(d, prims):
     """Union of primitives: nearest hit wins.  Returns (tt, nrm)."""
     tt = np.full(d.shape[:2], np.inf, np.float32)
@@ -138,6 +192,9 @@ def _isect_prims(d, prims):
             t_p, n_p = _isect_sphere(d, p["c"], p["r"])
         elif p["type"] == "box":
             t_p, n_p = _isect_box(d, p["c"], p["axes"], p["half"])
+        elif p["type"] == "bowl":
+            t_p, n_p = _isect_bowl(d, p["c"], p["axis"], p["r_out"],
+                                   p["r_in"])
         else:
             t_p, n_p = _isect_cylinder(d, p["c"], p["axes"], p["r"], p["hz"])
         closer = t_p < tt
@@ -253,34 +310,87 @@ class SyntheticTabletopDataset(_DatasetBase):
         """Composite object resting at the local origin: 1-3 primitives.
 
         Returns (prims with centers relative to the base point, footprint
-        radius, height, stackable).  Kinds mimic common tabletop objects
-        (TOD renders ShapeNet mugs/bottles/boxes; README.md:60-66).
-        """
+        radius, height, stackable, band_z).  Kinds mimic common tabletop
+        objects (TOD renders ShapeNet mugs/bottles/boxes; README.md:60-66);
+        v4 adds the shape classes the real demo frames contain that v3
+        never produced: open bowls, wide-low lidded containers, lying
+        cylinders (cans on their side), thin plates, and pens.  band_z,
+        when not None, is the preferred height of a horizontal texture
+        split (lids/label bands — real products split horizontally)."""
         a1, a2, a3 = axes
 
         def rel(offset):
             return (offset[0] * a1 + offset[1] * a2
                     + offset[2] * a3).astype(np.float32)
 
-        kind = rng.choice(6, p=[0.22, 0.2, 0.18, 0.16, 0.12, 0.12])
+        kind = rng.choice(11, p=[0.08, 0.12, 0.10, 0.08, 0.09, 0.07,
+                                 0.10, 0.12, 0.08, 0.08, 0.08])
         prims = []
         if kind == 0:      # sphere
             r = np.float32(rng.uniform(0.035, 0.085))
             prims.append({"type": "sphere", "c": rel((0, 0, r)), "r": r})
-            return prims, float(r), float(2 * r), False
+            return prims, float(r), float(2 * r), False, None
         if kind == 1:      # box
             hx = np.float32(rng.uniform(0.03, 0.085))
             hy = np.float32(rng.uniform(0.03, 0.085))
             hz = np.float32(rng.uniform(0.035, 0.14))
             prims.append({"type": "box", "c": rel((0, 0, hz)), "axes": axes,
                           "half": np.array([hx, hy, hz], np.float32)})
-            return prims, float(np.hypot(hx, hy)), float(2 * hz), True
+            return prims, float(np.hypot(hx, hy)), float(2 * hz), True, None
         if kind == 2:      # cylinder
             r = np.float32(rng.uniform(0.025, 0.075))
             hz = np.float32(rng.uniform(0.05, 0.14))
             prims.append({"type": "cyl", "c": rel((0, 0, hz)), "axes": axes,
                           "r": r, "hz": hz})
-            return prims, float(r), float(2 * hz), True
+            return prims, float(r), float(2 * hz), True, None
+        if kind == 6:      # open bowl (concave)
+            r = np.float32(rng.uniform(0.05, 0.11))
+            depth_f = rng.uniform(0.55, 1.0)       # squashed hemispheres
+            rim_h = np.float32(r * depth_f)
+            prims.append({"type": "bowl", "c": rel((0, 0, rim_h)),
+                          "axis": a3.astype(np.float32), "r_out": r,
+                          "r_in": np.float32(r * rng.uniform(0.82, 0.92))})
+            return prims, float(r), float(rim_h), False, None
+        if kind == 7:      # wide-low lidded container (storage box)
+            hx = np.float32(rng.uniform(0.05, 0.115))
+            hy = np.float32(rng.uniform(0.04, 0.09))
+            hz = np.float32(rng.uniform(0.022, 0.055))
+            prims.append({"type": "box", "c": rel((0, 0, hz)), "axes": axes,
+                          "half": np.array([hx, hy, hz], np.float32)})
+            lid_h = np.float32(rng.uniform(0.007, 0.016))
+            grow = np.float32(rng.uniform(1.03, 1.10))  # lid overhang
+            prims.append({"type": "box", "c": rel((0, 0, 2 * hz + lid_h)),
+                          "axes": axes,
+                          "half": np.array([hx * grow, hy * grow, lid_h],
+                                           np.float32)})
+            height = float(2 * hz + 2 * lid_h)
+            return (prims, float(np.hypot(hx, hy) * grow), height, True,
+                    float(2 * hz))                 # split color AT the lid
+        if kind == 8:      # lying cylinder (can/bottle on its side)
+            r = np.float32(rng.uniform(0.028, 0.06))
+            hl = np.float32(rng.uniform(0.05, 0.12))
+            axes_l = np.stack([a2, a3, a1]).astype(np.float32)
+            prims.append({"type": "cyl", "c": rel((0, 0, r)),
+                          "axes": axes_l, "r": r, "hz": hl})
+            return prims, float(np.hypot(r, hl)), float(2 * r), False, None
+        if kind == 9:      # thin plate / book / flat box
+            hx = np.float32(rng.uniform(0.05, 0.12))
+            hy = np.float32(rng.uniform(0.04, 0.1))
+            hz = np.float32(rng.uniform(0.004, 0.014))
+            prims.append({"type": "box", "c": rel((0, 0, hz)), "axes": axes,
+                          "half": np.array([hx, hy, hz], np.float32)})
+            return prims, float(np.hypot(hx, hy)), float(2 * hz), True, None
+        if kind == 10:     # pen / marker: thin long lying cylinder
+            r = np.float32(rng.uniform(0.004, 0.009))
+            hl = np.float32(rng.uniform(0.05, 0.09))
+            axes_l = np.stack([a2, a3, a1]).astype(np.float32)
+            prims.append({"type": "cyl", "c": rel((0, 0, r)),
+                          "axes": axes_l, "r": r, "hz": hl})
+            # cap: small sphere on one end (two-tone pens)
+            prims.append({"type": "sphere",
+                          "c": rel((float(hl), 0, r)),
+                          "r": np.float32(r * 1.15)})
+            return prims, float(hl + 2 * r), float(2 * r), False, None
         if kind == 3:      # stack: box base + smaller prim on top
             hx = np.float32(rng.uniform(0.04, 0.085))
             hy = np.float32(rng.uniform(0.04, 0.085))
@@ -307,7 +417,7 @@ class SyntheticTabletopDataset(_DatasetBase):
                 prims.append({"type": "cyl", "c": rel((ju, jv, 2 * hz + h2)),
                               "axes": axes, "r": r2, "hz": h2})
                 height = 2 * hz + 2 * h2
-            return prims, float(np.hypot(hx, hy)), float(height), False
+            return prims, float(np.hypot(hx, hy)), float(height), False, None
         if kind == 4:      # mug: cylinder + side handle
             r = np.float32(rng.uniform(0.035, 0.06))
             hz = np.float32(rng.uniform(0.05, 0.095))
@@ -318,7 +428,7 @@ class SyntheticTabletopDataset(_DatasetBase):
                           "c": rel((r + hw, 0, hz)), "axes": axes,
                           "half": np.array([hw, 0.8 * hw, 0.6 * hz],
                                            np.float32)})
-            return prims, float(r + 2 * hw), float(2 * hz), True
+            return prims, float(r + 2 * hw), float(2 * hz), True, None
         # kind == 5: bottle: body + neck + cap sphere
         r = np.float32(rng.uniform(0.03, 0.055))
         hz = np.float32(rng.uniform(0.06, 0.11))
@@ -330,7 +440,10 @@ class SyntheticTabletopDataset(_DatasetBase):
                       "axes": axes, "r": rn, "hz": hn})
         prims.append({"type": "sphere", "c": rel((0, 0, 2 * hz + 2 * hn)),
                       "r": np.float32(rn * 1.2)})
-        return prims, float(r), float(2 * hz + 2 * hn + rn), False
+        # label band: real bottles split color at label height, not along
+        # random planes
+        return (prims, float(r), float(2 * hz + 2 * hn + rn), False,
+                float(hz * rng.uniform(0.7, 1.6)))
 
     def render(self, rng) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Returns (bgr uint8 [H,W,3], depth_m float32 [H,W], labels int32)."""
@@ -363,6 +476,28 @@ class SyntheticTabletopDataset(_DatasetBase):
             normal_buf[hit] = n
             plane_id = np.where(hit, pid, plane_id)
 
+        # table legs (v4): vertical boxes from the table underside to the
+        # floor at the four corners, LABEL 0 — the low-table demo frames
+        # (000005-000008) show legs and table-edge geometry prominently and
+        # round-4 overlays put spurious instances exactly there
+        if rng.rand() < 0.7:
+            leg_drop = float((p0 - p_floor) @ n)   # table->floor distance
+            leg_half = np.float32(rng.uniform(0.025, 0.05))
+            leg_axes = np.stack([t1, t2, n]).astype(np.float32)
+            off = table_extent - leg_half - 0.02
+            for su in (-1.0, 1.0):
+                for sv in (-1.0, 1.0):
+                    c_leg = (p0 + su * off * t1 + sv * off * t2
+                             - 0.5 * leg_drop * n).astype(np.float32)
+                    t_leg, n_leg = _isect_box(
+                        d, c_leg, leg_axes,
+                        np.array([leg_half, leg_half, leg_drop / 2],
+                                 np.float32))
+                    hit = t_leg < zbuf
+                    zbuf = np.where(hit, t_leg, zbuf)
+                    normal_buf[hit] = n_leg[hit]
+                    plane_id = np.where(hit, 3, plane_id)
+
         # -- objects: composite primitives with adjacency / stacking placement
         k = rng.randint(self.min_objects, self.max_objects + 1)
         placed = []   # dicts: cu, cv, foot_r, top_h, stackable
@@ -372,7 +507,8 @@ class SyntheticTabletopDataset(_DatasetBase):
             a1 = (np.cos(yaw) * t1 + np.sin(yaw) * t2).astype(np.float32)
             a2 = (-np.sin(yaw) * t1 + np.cos(yaw) * t2).astype(np.float32)
             axes = np.stack([a1, a2, n])
-            prims, foot_r, height, stackable = self._build_object(rng, axes)
+            prims, foot_r, height, stackable, band_z = self._build_object(
+                rng, axes)
 
             mode = rng.rand()
             base_h = 0.0
@@ -406,19 +542,32 @@ class SyntheticTabletopDataset(_DatasetBase):
             placed.append({"cu": cu, "cv": cv_, "foot_r": foot_r,
                            "top_h": base_h + height, "stackable": stackable})
             c1 = rng.uniform(0.15, 1.0, size=3)
-            c2 = rng.uniform(0.15, 1.0, size=3)
+            if rng.rand() < 0.3:   # low-contrast pair: near-plain objects
+                c2 = np.clip(c1 * rng.uniform(0.7, 1.3, size=3), 0.05, 1.0)
+            else:
+                c2 = rng.uniform(0.15, 1.0, size=3)
             spec = {"pattern": _random_pattern(rng),
                     "c1": c1.astype(np.float32),
                     "c2": c2.astype(np.float32), "base": base.copy()}
-            # ~55%: a second texture zone on the SAME object (split by a
-            # random plane through the object) — real objects carry labels,
-            # lids, multi-material panels; the embedding must not cut them
-            if rng.rand() < 0.55:
+            # ~60%: a second texture zone on the SAME object — real objects
+            # carry labels, lids, multi-material panels; the embedding must
+            # not cut them.  v4: the split is HORIZONTAL (lid/label height,
+            # the dominant real-product pattern — demo containers split at
+            # the lid, bottles at the label) when the object provides a
+            # band hint or by a 0.6 coin; random plane otherwise (v3).
+            if band_z is not None or rng.rand() < 0.6:
                 spec["pattern_b"] = _random_pattern(rng)
                 spec["c1b"] = rng.uniform(0.15, 1.0, 3).astype(np.float32)
                 spec["c2b"] = rng.uniform(0.15, 1.0, 3).astype(np.float32)
-                spec["split_u"] = _normalize(rng.randn(3)).astype(np.float32)
-                spec["split_c"] = np.float32(rng.uniform(-0.02, 0.02))
+                if band_z is not None or rng.rand() < 0.6:
+                    zc = (band_z if band_z is not None
+                          else rng.uniform(0.25, 0.75) * height)
+                    spec["split_u"] = n.astype(np.float32)
+                    spec["split_c"] = np.float32(zc)
+                else:
+                    spec["split_u"] = _normalize(
+                        rng.randn(3)).astype(np.float32)
+                    spec["split_c"] = np.float32(rng.uniform(-0.02, 0.02))
             specs.append(spec)
 
         valid = np.isfinite(zbuf)
@@ -446,7 +595,11 @@ class SyntheticTabletopDataset(_DatasetBase):
                       "c2": rng.uniform(0.3, 0.95, 3).astype(np.float32)}
         floor_col1 = rng.uniform(0.1, 0.8, 3).astype(np.float32)
         floor_col2 = rng.uniform(0.1, 0.8, 3).astype(np.float32)
-        for pid, spec in ((1, table_spec), (2, None)):
+        # legs reuse the table colors slightly darkened (same material)
+        leg_spec = {"pattern": table_spec["pattern"],
+                    "c1": 0.85 * table_spec["c1"],
+                    "c2": 0.85 * table_spec["c2"]}
+        for pid, spec in ((1, table_spec), (2, None), (3, leg_spec)):
             m = (plane_id == pid) & (labels == 0)
             if not m.any():
                 continue
@@ -669,6 +822,8 @@ class SyntheticTabletopDataset(_DatasetBase):
                     depth, augmentation.DEFAULT_NOISE_PARAMS, rng)
                 depth = augmentation.dropout_random_ellipses(
                     depth, augmentation.DEFAULT_NOISE_PARAMS, rng)
+                if cfg.TRAIN.DEPTH_ARTIFACTS:
+                    depth = augmentation.add_realsense_artifacts(depth, rng)
             xyz = compute_xyz_np(depth, self.f, self.f, self.cx, self.cy)
             if cfg.MODE == "TRAIN":
                 xyz = augmentation.add_noise_to_xyz(

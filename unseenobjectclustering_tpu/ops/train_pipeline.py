@@ -92,6 +92,57 @@ def dropout_random_ellipses_device(depth_m: jax.Array,
     return jnp.where(inside.any(axis=0), 0.0, depth_m)
 
 
+MAX_SHADOW_W = 12
+
+
+def add_depth_artifacts_device(depth_m: jax.Array, key: jax.Array
+                               ) -> jax.Array:
+    """RealSense-style structured depth dropout (cfg.TRAIN.DEPTH_ARTIFACTS).
+
+    Device twin of data/augmentation.add_realsense_artifacts (see its
+    docstring for the demo-capture measurements this models): one-sided
+    stereo-occlusion shadows at horizontal depth discontinuities, large
+    low-frequency glossy blobs, and a ragged border band — each gated by
+    its own per-frame coin (0.8 / 0.7 / 0.5).  The dynamic shadow width is
+    a masked OR over MAX_SHADOW_W pre-rolled edge maps (no dynamic shapes
+    under jit)."""
+    h, w = depth_m.shape
+    ks = jax.random.split(key, 10)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    # 1. stereo occlusion shadows
+    dx = jnp.abs(jnp.diff(depth_m, axis=1, prepend=depth_m[:, :1]))
+    edge = (dx > 0.04) & (depth_m > 0)
+    width = jax.random.randint(ks[0], (), 2, MAX_SHADOW_W + 1)
+    live = (jnp.arange(MAX_SHADOW_W) < width)[:, None, None]
+    rolled_p = jnp.stack([jnp.roll(edge, k, axis=1) & (cols >= k)
+                          for k in range(1, MAX_SHADOW_W + 1)])
+    rolled_n = jnp.stack([jnp.roll(edge, -k, axis=1) & (cols < w - k)
+                          for k in range(1, MAX_SHADOW_W + 1)])
+    shadow = jnp.where(jax.random.bernoulli(ks[1]),
+                       (rolled_p & live).any(0), (rolled_n & live).any(0))
+    drop = shadow & jax.random.bernoulli(ks[2], 0.8)
+
+    # 2. low-frequency glossy blobs
+    field = upsample_bilinear(
+        jax.random.uniform(ks[3], (h // 40 + 2, w // 40 + 2, 1)),
+        (h, w))[..., 0]
+    thr = jax.random.uniform(ks[4], (), minval=0.80, maxval=0.95)
+    drop = drop | ((field > thr) & jax.random.bernoulli(ks[5], 0.7))
+
+    # 3. ragged border band (left or right)
+    base = jax.random.randint(ks[6], (), 8, 48).astype(jnp.float32)
+    jag = upsample_bilinear(
+        jax.random.uniform(ks[7], (h // 16 + 2, 1, 1)), (h, 1))[:, 0, 0]
+    widths = base * (0.5 + jag)                                  # [h]
+    colf = cols.astype(jnp.float32)
+    band = jnp.where(jax.random.bernoulli(ks[8]),
+                     colf < widths[:, None],
+                     colf >= jnp.float32(w) - widths[:, None])
+    drop = drop | (band & jax.random.bernoulli(ks[9], 0.5))
+    return jnp.where(drop, 0.0, depth_m)
+
+
 def add_gp_noise_to_xyz_device(xyz: jax.Array, depth_m: jax.Array,
                                key: jax.Array) -> jax.Array:
     """Coarse Gaussian field, upsampled, added where depth is valid
@@ -223,6 +274,7 @@ def make_device_augment_crop(cfg, *, fx: float, fy: float, px: float,
     input_type = str(cfg.INPUT)
     use_chromatic = bool(cfg.TRAIN.CHROMATIC)
     use_noise = bool(cfg.TRAIN.ADD_NOISE)
+    use_artifacts = bool(cfg.TRAIN.DEPTH_ARTIFACTS)
     sampling_num = (int(cfg.TRAIN.EMBEDDING_SAMPLING_NUM)
                     if bool(cfg.TRAIN.EMBEDDING_SAMPLING) else 0)
     pixel_means = jnp.asarray(cfg.pixel_means, jnp.float32)
@@ -231,7 +283,7 @@ def make_device_augment_crop(cfg, *, fx: float, fy: float, px: float,
     pct_max = float(cfg.TRAIN.max_padding_percentage)
 
     def one(bgr, depth_mm, label_u8, key):
-        ks = jax.random.split(key, 10)
+        ks = jax.random.split(key, 11)
         h, w = depth_mm.shape
         label = label_u8.astype(jnp.int32)
 
@@ -240,6 +292,8 @@ def make_device_augment_crop(cfg, *, fx: float, fy: float, px: float,
         depth = depth_mm.astype(jnp.float32) / 1000.0
         mult = jax.random.gamma(ks[0], GAMMA_SHAPE) * GAMMA_SCALE
         depth = dropout_random_ellipses_device(depth * mult, ks[1])
+        if use_artifacts:
+            depth = add_depth_artifacts_device(depth, ks[10])
         xyz = compute_xyz(depth, fx, fy, px, py, height=h, width=w)
         xyz = add_gp_noise_to_xyz_device(xyz, depth, ks[2])
 
@@ -315,12 +369,13 @@ def make_device_augment(cfg, *, fx: float, fy: float, px: float, py: float):
     input_type = str(cfg.INPUT)
     use_chromatic = bool(cfg.TRAIN.CHROMATIC)
     use_noise = bool(cfg.TRAIN.ADD_NOISE)
+    use_artifacts = bool(cfg.TRAIN.DEPTH_ARTIFACTS)
     sampling_num = (int(cfg.TRAIN.EMBEDDING_SAMPLING_NUM)
                     if bool(cfg.TRAIN.EMBEDDING_SAMPLING) else 0)
     pixel_means = jnp.asarray(cfg.pixel_means, jnp.float32)
 
     def one(bgr, depth_mm, label_u8, key):
-        ks = jax.random.split(key, 8)
+        ks = jax.random.split(key, 9)
         h, w = depth_mm.shape
         label = label_u8.astype(jnp.int32)
 
@@ -329,6 +384,8 @@ def make_device_augment(cfg, *, fx: float, fy: float, px: float, py: float):
             depth = depth_mm.astype(jnp.float32) / 1000.0
             mult = jax.random.gamma(ks[0], GAMMA_SHAPE) * GAMMA_SCALE
             depth = dropout_random_ellipses_device(depth * mult, ks[1])
+            if use_artifacts:
+                depth = add_depth_artifacts_device(depth, ks[8])
             xyz = compute_xyz(depth, fx, fy, px, py, height=h, width=w)
             xyz = add_gp_noise_to_xyz_device(xyz, depth, ks[2])
 
