@@ -96,33 +96,41 @@ def test_seeding_under_map_and_cond(rng):
 
 
 def test_vmem_gate_boundary_shapes():
-    """The dispatch gate models the kernel's REAL scoped footprint (~3x
-    padded X for fp32 + the [8, n] f32 scratch): round 4's 1x-X/40 MiB
-    gate admitted fp32 n=76800 (`bench.py --parity --subsample 4`) into a
-    measured on-chip compile OOM (117.19 MiB used vs 101.5 MiB effective
-    limit) — ADVICE r4 medium.  Shapes below are the measured v5e
-    boundary cases."""
+    """The dispatch gate models the round-5 TRANSPOSED kernel's scoped
+    footprint (X^T [d_sub, n_pad] + [8, n] f32 scratch + step temps):
+    the boundary shapes below were compile-probed on v5e 2026-08-20.
+    History: round 4's 1x-X/40 MiB gate admitted fp32 n=76800 into a
+    measured on-chip compile OOM (ADVICE r4 medium); the transposed
+    layout halves the footprint and admits every production shape
+    including the stride-1 fp32 frame."""
     from unseenobjectclustering_tpu.ops.mean_shift import (
         seeding_kernel_fits_vmem)
 
-    # fp32 480x640 subsample-4: compile-OOMs on chip -> must be rejected
-    assert not seeding_kernel_fits_vmem(76800, 64, 4)
-    # fp32 224^2 crops (reference-exact zoom-in): compiles -> admitted
+    # fp32 stride-1 480x640 (reference-exact parity stage 1): the
+    # transposed layout's headline admission — 93.4 MiB est, compiles
+    # under the 110 MiB limit, 5.6 ms/frame measured
+    assert seeding_kernel_fits_vmem(307200, 64, 4)
+    # fp32 480x640 subsample-4 (compile-OOMed the r4 layout): now fits
+    assert seeding_kernel_fits_vmem(76800, 64, 4)
+    # fp32 224^2 crops (reference-exact zoom-in): admitted
     assert seeding_kernel_fits_vmem(50176, 64, 4)
-    # bf16 480x640 subsample-4: compiles -> admitted
-    assert seeding_kernel_fits_vmem(76800, 64, 2)
-    # bf16 stride-8 full frame (FAST_CLUSTER default): admitted
+    # bf16 full frame stride-1 and stride-8 (FAST_CLUSTER): admitted
+    assert seeding_kernel_fits_vmem(307200, 64, 2)
     assert seeding_kernel_fits_vmem(38400, 64, 2)
-    # stride-1 full frame: far too big either dtype -> lazy-blocked route
-    assert not seeding_kernel_fits_vmem(307200, 64, 2)
-    assert not seeding_kernel_fits_vmem(307200, 64, 4)
+    # beyond the limit: 720x540 fp32 est ~105 MiB -> lazy-blocked route
+    assert not seeding_kernel_fits_vmem(345600, 64, 4)
+    # wider embeddings push fp32 frames out again
+    assert not seeding_kernel_fits_vmem(307200, 128, 4)
 
 
 def test_dispatch_rejects_oom_shape(rng):
-    """fp32 n=76800 must route to the lazy-blocked selection (same
-    argmax semantics), not the fused kernel."""
+    """A shape beyond the VMEM gate (fp32 d=128 full frame) must route to
+    the lazy-blocked selection (same argmax semantics), not the fused
+    kernel.  Uses n=131072 > 65536 so the lazy branch (not the plain
+    eager loop) is the expected fallback."""
     from unseenobjectclustering_tpu.ops import mean_shift as ms
 
+    assert not ms.seeding_kernel_fits_vmem(131072, 320, 4)
     called = {}
     orig = ms.select_smart_seeds_lazy
 
@@ -130,7 +138,7 @@ def test_dispatch_rejects_oom_shape(rng):
         called["lazy"] = True
         return orig(*a, **k)
 
-    x = jnp.asarray(rng.randn(76800, 64).astype(np.float32))
+    x = jnp.asarray(rng.randn(131072, 320).astype(np.float32))
     x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
     old = ms.select_smart_seeds_lazy
     ms.select_smart_seeds_lazy = spy
@@ -139,5 +147,5 @@ def test_dispatch_rejects_oom_shape(rng):
             x, 8, jax.random.PRNGKey(0), use_pallas=True)
     finally:
         ms.select_smart_seeds_lazy = old
-    assert called.get("lazy"), "fp32 n=76800 must take the lazy route"
-    assert seeds.shape == (8, 64) and idxs.shape == (8,)
+    assert called.get("lazy"), "over-gate shape must take the lazy route"
+    assert seeds.shape == (8, 320) and idxs.shape == (8,)

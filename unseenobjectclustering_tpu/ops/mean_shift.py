@@ -324,24 +324,29 @@ def assign_and_swap_background(x: jax.Array, seeds: jax.Array,
 
 
 def seeding_kernel_fits_vmem(n: int, d: int, itemsize: int) -> bool:
-    """True if the fused seeding kernel's REAL scoped-VMEM footprint fits.
+    """True if the fused seeding kernel's scoped-VMEM footprint fits.
 
-    The kernel's live set is ~3 X-sized buffers for fp32 (the x_ref block,
-    the materialized `x = x_ref[:]` copy, and an X-sized f32 temporary
-    Mosaic keeps across the dist_to matvecs) plus the [8, n] f32 min-dist
-    scratch.  Measured on v5e (2026-08-19 probe): fp32 n=76800 d_pad=128
-    reports 117.19 MiB used — 2.98x the 39.3 MiB padded X — against a
-    101.5 MiB effective ceiling (what Mosaic grants when the pallas_call
-    requests vmem_limit_bytes=64 MiB), while fp32 n=50176 (224^2 crops,
-    3x = 77 MiB) and bf16 n=76800 (2 X-sized bf16 + 1 f32 = 75 MiB) both
-    compile.  Round 4 gated on 1x X <= 40 MiB, which admitted the
-    fp32 n=76800 shape (`bench.py --parity --subsample 4`) straight into
-    a compile-time OOM (ADVICE r4, medium).
+    The round-5 kernel stores X TRANSPOSED as [d_sub, n_pad] (embedding
+    axis on the sublane dimension: d pads to 8 f32 / 16 bf16 instead of
+    the 128-lane quantum), so its live set is X^T + the [8, n_pad] f32
+    min-distance scratch + ~4 [1, n_pad] f32 step temporaries:
+
+        est = n_pad * (d_sub * itemsize + 48) bytes
+
+    Mosaic's own scoped accounting runs ~1.1x this estimate (measured on
+    v5e: fp32 n=307200 d=64 -> est 93.4 MiB, compiler reports 104.02 MiB
+    with one extra per-step temp, and the kernel compiles under the
+    110 MiB vmem_limit_bytes it requests), so the gate admits est <=
+    98 MiB.  Boundary cases measured 2026-08-20: fp32 n=307200 d=64
+    (stride-1 480x640 parity — newly admitted by the transposed layout)
+    compiles and runs 5.6 ms; fp32 n=345600 est 105 MiB would exceed the
+    limit -> rejected to the lazy-blocked route.
     """
-    d_pad = ((d + 127) // 128) * 128
-    x_bytes = n * d_pad * itemsize
-    footprint = 2 * x_bytes + n * d_pad * 4 + 8 * n * 4
-    return footprint <= 96 * 2 ** 20
+    sub = 8 if itemsize == 4 else 16
+    d_sub = ((d + sub - 1) // sub) * sub
+    n_pad = ((n + 127) // 128) * 128
+    est = n_pad * (d_sub * itemsize + 48)
+    return est <= 98 * 2 ** 20
 
 
 def select_seeds_dispatch(xc: jax.Array, num_seeds: int, key: jax.Array, *,
@@ -353,8 +358,9 @@ def select_seeds_dispatch(xc: jax.Array, num_seeds: int, key: jax.Array, *,
 
     One authority for the kernel choice (also used by tools/bench_stages.py,
     so the benchmark times exactly the production route):
-      * kernel footprint fits VMEM (seeding_kernel_fits_vmem: ~3x padded X
-        for fp32, ~96 MiB ceiling) -> fully fused Pallas kernel
+      * kernel footprint fits VMEM (seeding_kernel_fits_vmem: transposed
+        X^T + scratch, ~98 MiB ceiling — includes stride-1 fp32 480x640
+        since round 5) -> fully fused Pallas kernel
       * too big but n > 65536      -> exact lazy-bound blocked selection
       * otherwise                  -> plain select_smart_seeds
     All three implement the reference's selection rule (mean_shift.py:
