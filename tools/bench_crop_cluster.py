@@ -30,12 +30,24 @@ Usage: python tools/bench_crop_cluster.py [--parity] [--crop-size 224]
 """
 
 import argparse
+import os
 import time
 
 import _init_paths  # noqa: F401
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# repo-local persistent XLA cache (same dir as bench.py)
+_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".xla_cache")
+try:
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
 
 
 def _marginal_ms(make_run, args, k1: int, k2: int, reps: int = 3) -> float:

@@ -26,6 +26,7 @@ Usage: python tools/bench_stages.py [--parity] [--stage2]
 """
 
 import argparse
+import os
 import time
 
 import _init_paths  # noqa: F401
@@ -36,8 +37,57 @@ import numpy as np
 H, W = 480, 640
 ITERS = 30
 
+_DISPATCH_MS = None
+
+
+def _setup_compile_cache() -> None:
+    """Same repo-local persistent XLA cache as bench.py."""
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".xla_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
+def _dispatch_baseline_ms() -> float:
+    """Per-call dispatch+fetch overhead through the axon tunnel (~85 ms,
+    jittering by tens of ms under host load).  Measured once (min of 5
+    calls to a trivial jitted program) and subtracted from every variant:
+    round 4 timed each variant with ONE un-baselined call, which is where
+    the 10-15% bench_stages-vs-bench.py disagreement (and the implausible
+    94%-MFU backbone row in docs/MFU.md) came from."""
+    global _DISPATCH_MS
+    if _DISPATCH_MS is None:
+        f = jax.jit(lambda x: x + 1.0)
+        np.asarray(f(jnp.float32(0)))  # compile
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(f(jnp.float32(1)))
+            ts.append(time.perf_counter() - t0)
+        _DISPATCH_MS = min(ts) * 1e3
+    return _DISPATCH_MS
+
+
+def _measure_ms(run, run_args, iters: int, reps: int = 3) -> float:
+    """ms/frame: warm once, min of `reps` timed calls, minus the dispatch
+    baseline, per chained frame."""
+    np.asarray(run(*run_args))  # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(run(*run_args))
+        ts.append(time.perf_counter() - t0)
+    return (min(ts) * 1e3 - _dispatch_baseline_ms()) / iters
+
 
 def main():
+    _setup_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--parity", action="store_true",
                     help="fp32 + stride-1 seeding (reference-exact)")
@@ -247,10 +297,7 @@ def main():
             c, _ = jax.lax.scan(body, jnp.float32(0), keys_)
             return c
 
-        np.asarray(run(variables, keys))  # compile + warm
-        t0 = time.perf_counter()
-        np.asarray(run(variables, keys))
-        ms = (time.perf_counter() - t0) / args.iters * 1e3
+        ms = _measure_ms(run, (variables, keys), args.iters)
         delta = ms - results[-1][1] if results else ms
         results.append((name, ms))
         print(f"{name:8s} {ms:7.2f} ms/frame  (+{delta:5.2f})", flush=True)
@@ -376,10 +423,7 @@ def main():
             c, _ = jax.lax.scan(body, jnp.float32(0), keys_)
             return c
 
-        np.asarray(run(variables, variables_crop, keys))  # compile + warm
-        t0 = time.perf_counter()
-        np.asarray(run(variables, variables_crop, keys))
-        ms = (time.perf_counter() - t0) / args.iters * 1e3
+        ms = _measure_ms(run, (variables, variables_crop, keys), args.iters)
         delta = ms - s2_results[-1][1] if s2_results else 0.0
         s2_results.append((name, ms))
         print(f"{name:10s} {ms:7.2f} ms/frame  (+{delta:5.2f})", flush=True)
