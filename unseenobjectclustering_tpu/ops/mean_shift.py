@@ -154,9 +154,15 @@ def select_smart_seeds_lazy(x: jax.Array, num_seeds: int, key: jax.Array,
     # first argmax); per-pixel min-distances are NOT stored — a lazy refresh
     # recomputes them from the chosen seeds, so the only carried state is
     # three [B] vectors
+    # HIGHEST: at DEFAULT precision the TPU MXU truncates fp32 operands to
+    # one bf16 pass — tools/probe_seed_precision.py measured a 2.6e-4
+    # exact-distance error flipping farthest-point picks on this route
+    # (the same bug fixed in the fused kernel this round)
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
     sim0 = jax.lax.dot_general(xb, first_seed,
                                dimension_numbers=(((2,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
     md0 = jnp.where(pad, -jnp.inf, 0.5 * (1.0 - sim0))        # [B, nb]
     bound = jnp.max(md0, axis=1)                              # [B]
     arg = jnp.argmax(md0, axis=1).astype(jnp.int32)           # [B]
@@ -175,7 +181,8 @@ def select_smart_seeds_lazy(x: jax.Array, num_seeds: int, key: jax.Array,
         # exact, and one [nb, m] matmul is cheaper than bookkeeping
         sim = jax.lax.dot_general(xb_b, seeds,
                                   dimension_numbers=(((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec)
         dist = jnp.where(seed_col[None, :] < k, 0.5 * (1.0 - sim), jnp.inf)
         md = jnp.min(dist, axis=1)
         md = jnp.where(pad[b], -jnp.inf, md)
