@@ -38,6 +38,12 @@ PRE=${PRETRAINED:+--pretrained "$PRETRAINED"}
 C224=${CROP224:+--pretrained-crop "$CROP224"}
 C128=${CROP128:+--pretrained-crop "$CROP128"}
 
+# numerics gate first: every seeding route must pass the f64-replay
+# audit on the real backend before any number is captured (r5: two
+# routes were silently bf16-truncated at default MXU precision)
+python tools/probe_seed_precision.py --n 50176 --m 100 || {
+  echo '{"error": "seed-precision-audit-failed"}' >> "$OUT"; exit 1; }
+
 run stage1_fast
 run stage1_parity --parity
 run refine224_r34_fast --refine $PRE $C224
