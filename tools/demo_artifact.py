@@ -38,6 +38,9 @@ def main():
                    help="zoom-in factory (e.g. seg_resnet18_8s_embedding)")
     p.add_argument("--crop_size", type=int, default=None)
     args = p.parse_args()
+    from unseenobjectclustering_tpu.utils.profiling import (
+        enable_persistent_compile_cache)
+    enable_persistent_compile_cache()
 
     import cv2
     import jax.numpy as jnp

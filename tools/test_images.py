@@ -65,6 +65,9 @@ def read_sample(color_file: str, depth_file: str, depth_factor: float):
 
 def main():
     args = parse_args()
+    from unseenobjectclustering_tpu.utils.profiling import (
+        enable_persistent_compile_cache)
+    enable_persistent_compile_cache()
     import cv2
     import jax.numpy as jnp
 

@@ -65,6 +65,9 @@ def read_npy_sample(path):
 
 def main():
     args = parse_args()
+    from unseenobjectclustering_tpu.utils.profiling import (
+        enable_persistent_compile_cache)
+    enable_persistent_compile_cache()
     import jax.numpy as jnp
 
     from unseenobjectclustering_tpu.config import FAST_CLUSTER, Config

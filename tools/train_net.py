@@ -71,6 +71,9 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from unseenobjectclustering_tpu.utils.profiling import (
+        enable_persistent_compile_cache)
+    enable_persistent_compile_cache()
     print("Called with args:")
     print(args)
 
